@@ -1,0 +1,223 @@
+"""Pure-functional GP core: likelihoods, fit state, universal-kriging posterior.
+
+Mathematical spec (SURVEY.md S7, MUCM toolkit; reference behavior lives in
+`_emulatorclasses.py::Optimize/Posterior`):
+
+  model      y(x) = h(x)^T beta + Z(x),  cov[Z] = sigma^2 c(x,x'),
+             c the Gaussian correlation (kernels.py) + nugget nu on the diag.
+  beta       GLS:  beta_hat = G^{-1} H^T A^{-1} y,  G = H^T A^{-1} H.
+  sigma^2    MUCM mode: profiled analytically,
+             sigma2_hat = y^T (A^{-1} - A^{-1} H G^{-1} H^T A^{-1}) y / (n-q-2).
+  NLL mucm   (n-q)/2 log sigma2_hat + 1/2 log|A| + 1/2 log|G|   (+const).
+  NLL gp4ml  full marginal likelihood with explicit sigma^2 and beta profiled:
+             1/2 [ resid/sigma^2 + n log sigma^2 + log|A| + n log 2pi ].
+  posterior  m*(x)  = h(x)^T beta_hat + t(x)^T e,  e = A^{-1}(y - H beta_hat)
+             v*(x,x') = sigma2 [ c(x,x') - t(x)^T A^{-1} t(x')
+                                 + R(x) G^{-1} R(x')^T ],
+             R(x) = h(x)^T - t(x)^T A^{-1} H.
+  validation standardized errors; Mahalanobis D = err^T V*^{-1} err with
+             E[D] = n_V, Var[D] = 2 n_V (n_V + n - q - 2)/(n - q - 4).
+
+Everything is expressed through one Cholesky of A (and of the q x q G), via
+triangular solves only — no explicit inverses — so a single factorization is
+reused across NLL, posterior, diagnostics and the UQSA integrals. All
+functions are jit/vmap/grad-safe (NaN-guarded NLLs return +inf on failed
+factorizations so multi-restart optimization and HMC skip bad regions).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gp_emu_uqsa_tpu.kernels import GPParams, gaussian_corr, gaussian_corr_self
+from gp_emu_uqsa_tpu.ops.cholesky import cholesky_with_jitter, tri_solve
+
+_LOG2PI = 1.8378770664093453
+
+
+class FitState(NamedTuple):
+    """Sufficient statistics of a fitted GP, reused by posterior & UQSA.
+
+    Shapes: n training points, q basis functions, d active dims.
+    """
+
+    params: GPParams
+    l: jax.Array          # (n, n) lower Cholesky of A (+jitter)
+    lg: jax.Array         # (q, q) lower Cholesky of G = H^T A^-1 H
+    beta: jax.Array       # (q,)   GLS beta_hat
+    e: jax.Array          # (n,)   A^-1 (y - H beta_hat)
+    sigma2: jax.Array     # ()     sigma2_hat (mucm) or explicit sigma2 (gp4ml)
+    ainv_h: jax.Array     # (n, q) A^-1 H
+    jitter: jax.Array     # ()     jitter added to factorize A
+    nll: jax.Array        # ()     NLL at these params
+
+
+def _common(params: GPParams, x, y, h):
+    """Shared pipeline: factorize A, whiten y and H, GLS beta, residual.
+
+    Returns everything both likelihood modes and the fit state need.
+    """
+    a = gaussian_corr_self(x, params)
+    l, jitter = cholesky_with_jitter(a)
+    linv_y = tri_solve(l, y[:, None])[:, 0]          # L^-1 y
+    linv_h = tri_solve(l, h)                         # L^-1 H
+    g = linv_h.T @ linv_h                            # H^T A^-1 H
+    q = h.shape[1]
+    lg = jax.lax.linalg.cholesky(
+        g + jnp.asarray(0.0, g.dtype) * jnp.eye(q, dtype=g.dtype),
+        symmetrize_input=True,
+    )
+    hty = linv_h.T @ linv_y                          # H^T A^-1 y
+    lg_inv_hty = tri_solve(lg, hty[:, None])[:, 0]   # Lg^-1 H^T A^-1 y
+    beta = tri_solve(lg, lg_inv_hty[:, None], trans=True)[:, 0]
+    # y^T A^-1 y - (H^T A^-1 y)^T G^-1 (H^T A^-1 y)  (>=0 up to rounding)
+    resid = jnp.maximum(
+        jnp.sum(linv_y * linv_y) - jnp.sum(lg_inv_hty * lg_inv_hty), 0.0
+    )
+    logdet_a = 2.0 * jnp.sum(jnp.log(jnp.diagonal(l)))
+    logdet_g = 2.0 * jnp.sum(jnp.log(jnp.diagonal(lg)))
+    return a, l, jitter, linv_y, linv_h, lg, beta, resid, logdet_a, logdet_g
+
+
+def _guard(nll: jax.Array) -> jax.Array:
+    return jnp.where(jnp.isfinite(nll), nll, jnp.asarray(jnp.inf, nll.dtype))
+
+
+def nll_mucm(params: GPParams, x, y, h) -> jax.Array:
+    """Concentrated (MUCM) negative log-likelihood; sigma^2 profiled out.
+
+    Reference: `Optimize.loglikelihood_mucm` (SURVEY.md S3/S4.2).
+    """
+    n, q = h.shape[0], h.shape[1]
+    (_, _, _, _, _, _, _, resid, logdet_a, logdet_g) = _common(params, x, y, h)
+    dof = n - q - 2
+    sigma2_hat = resid / dof
+    nll = 0.5 * (n - q) * jnp.log(sigma2_hat) + 0.5 * logdet_a + 0.5 * logdet_g
+    return _guard(nll)
+
+
+def nll_gp4ml(params: GPParams, x, y, h) -> jax.Array:
+    """Full marginal NLL with explicit sigma^2 (beta profiled via GLS).
+
+    Reference: `Optimize.loglikelihood_gp4ml` (SURVEY.md S3/S4.2).
+    """
+    n = h.shape[0]
+    (_, _, _, _, _, _, _, resid, logdet_a, _) = _common(params, x, y, h)
+    s2 = params.sigma2
+    nll = 0.5 * (resid / s2 + n * jnp.log(s2) + logdet_a + n * _LOG2PI)
+    return _guard(nll)
+
+
+def nll(params: GPParams, x, y, h, *, mode: str = "mucm") -> jax.Array:
+    if mode == "mucm":
+        return nll_mucm(params, x, y, h)
+    if mode == "gp4ml":
+        return nll_gp4ml(params, x, y, h)
+    raise ValueError(f"unknown likelihood mode {mode!r}")
+
+
+def fit(params: GPParams, x, y, h, *, mode: str = "mucm") -> FitState:
+    """Build the posterior sufficient statistics at fixed hyperparameters."""
+    n, q = h.shape[0], h.shape[1]
+    (_, l, jitter, linv_y, linv_h, lg, beta, resid, logdet_a, logdet_g) = _common(
+        params, x, y, h
+    )
+    if mode == "mucm":
+        sigma2 = resid / (n - q - 2)
+        nll_val = 0.5 * (n - q) * jnp.log(sigma2) + 0.5 * logdet_a + 0.5 * logdet_g
+    else:
+        sigma2 = params.sigma2
+        nll_val = 0.5 * (resid / sigma2 + n * jnp.log(sigma2) + logdet_a + n * _LOG2PI)
+    # e = A^-1 (y - H beta) = L^-T (L^-1 y - L^-1 H beta)
+    e = tri_solve(l, (linv_y - linv_h @ beta)[:, None], trans=True)[:, 0]
+    ainv_h = tri_solve(l, linv_h, trans=True)
+    return FitState(params, l, lg, beta, e, sigma2, ainv_h, jitter, _guard(nll_val))
+
+
+def _posterior_pieces(state: FitState, x, h, xstar, hstar):
+    """Cross-correlation and whitened solves shared by mean/var paths."""
+    c_star = gaussian_corr(xstar, x, state.params)    # (m, n)
+    mean = hstar @ state.beta + c_star @ state.e
+    linv_t = tri_solve(state.l, c_star.T)             # (n, m) = L^-1 t(x*)
+    r = hstar - c_star @ state.ainv_h                 # (m, q) R(x*)
+    lg_inv_r = tri_solve(state.lg, r.T)               # (q, m)
+    return c_star, mean, linv_t, r, lg_inv_r
+
+
+def predict(
+    state: FitState,
+    x,
+    h,
+    xstar,
+    hstar,
+    *,
+    full_cov: bool = False,
+    include_nugget: bool = False,
+):
+    """Universal-kriging posterior mean and (co)variance at xstar.
+
+    Returns (mean (m,), var (m,) or cov (m, m)). In MUCM mode state.sigma2
+    already carries the n-q-2 divisor, so `var` is the Student-t predictive
+    variance with n-q degrees of freedom, matching the reference.
+    """
+    _, mean, linv_t, _, lg_inv_r = _posterior_pieces(state, x, h, xstar, hstar)
+    prior_diag = 1.0 + (state.params.nugget if include_nugget else 0.0)
+    if full_cov:
+        c_ss = gaussian_corr(xstar, xstar, state.params)
+        if include_nugget:
+            c_ss = c_ss + state.params.nugget * jnp.eye(
+                xstar.shape[0], dtype=c_ss.dtype
+            )
+        cov = c_ss - linv_t.T @ linv_t + lg_inv_r.T @ lg_inv_r
+        cov = state.sigma2 * 0.5 * (cov + cov.T)
+        return mean, cov
+    var = prior_diag - jnp.sum(linv_t * linv_t, axis=0) + jnp.sum(
+        lg_inv_r * lg_inv_r, axis=0
+    )
+    return mean, state.sigma2 * jnp.maximum(var, 0.0)
+
+
+def validate(state: FitState, x, h, xv, hv, yv):
+    """Held-out validation diagnostics (reference `Posterior` diagnostics).
+
+    Returns dict with standardized errors, Mahalanobis distance and its
+    theoretical mean/variance under the Student-t reference distribution.
+    """
+    mean, cov = predict(state, x, h, xv, hv, full_cov=True, include_nugget=True)
+    err = yv - mean
+    sd = jnp.sqrt(jnp.maximum(jnp.diagonal(cov), 1e-30))
+    lv, _ = cholesky_with_jitter(cov)
+    white = tri_solve(lv, err[:, None])[:, 0]
+    mahal = jnp.sum(white * white)
+    n, q = h.shape[0], h.shape[1]
+    nv = yv.shape[0]
+    mahal_mean = jnp.asarray(float(nv), mean.dtype)
+    denom = max(n - q - 4, 1)
+    mahal_var = jnp.asarray(2.0 * nv * (nv + n - q - 2) / denom, mean.dtype)
+    return {
+        "mean": mean,
+        "std_err": err / sd,
+        "mahalanobis": mahal,
+        "mahalanobis_mean": mahal_mean,
+        "mahalanobis_sd": jnp.sqrt(mahal_var),
+    }
+
+
+def loo_diagnostics(state: FitState, x, h, y):
+    """Leave-one-out cross-validation means/variances from one factorization.
+
+    Uses the closed-form LOO identities on K = sigma2 * A:
+      mu_i = y_i - [K^-1 (y - H beta)]_i / [K^-1]_ii   (fixed-beta form)
+      v_i  = 1 / [K^-1]_ii
+    (Sundararajan & Keerthi; beta held at the full-data GLS estimate.)
+    """
+    # K^-1 diag via L^-1: K = s2 (L L^T) => K^-1 = (1/s2) L^-T L^-1.
+    n = x.shape[0]
+    linv = tri_solve(state.l, jnp.eye(n, dtype=x.dtype))
+    kinv_diag = jnp.sum(linv * linv, axis=0) / state.sigma2
+    kinv_resid = state.e / state.sigma2
+    loo_mean = y - kinv_resid / kinv_diag
+    loo_var = 1.0 / kinv_diag
+    return loo_mean, loo_var

@@ -1,0 +1,101 @@
+"""Correlation kernels for GP emulation.
+
+Reference parity: GP_emu_UQSA's Gaussian (squared-exponential) correlation
+(reference `_emulatorkernels.py`, see SURVEY.md S3) is
+
+    A_ij = exp( - sum_l ((x_il - x_jl) / delta_l)^2 ) + nu * 1[i==j]
+
+i.e. NO factor 1/2 in the exponent (MUCM convention, c(x,x') =
+exp{-(x-x')^T B (x-x')} with B = diag(1/delta_l^2)).  sigma^2 scales the
+correlation matrix into a covariance.
+
+TPU-first design: the correlation matrix is built from a single MXU matmul
+via the ||x||^2 + ||x'||^2 - 2 x.x' expansion on delta-scaled inputs, with
+the exponential fused by XLA (or by the Pallas kernel in
+`gp_emu_uqsa_tpu.ops.kernel_matrix`). All functions are pure and jit/vmap/
+shard_map friendly; hyperparameters travel in log-space pytrees.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+class GPParams(NamedTuple):
+    """Log-space hyperparameters of the Gaussian-kernel GP.
+
+    Attributes:
+      log_delta: (d_active,) per-dimension correlation lengths, log delta_l.
+      log_sigma2: () log of the scale variance sigma^2 (unused by the
+        concentrated/MUCM likelihood which profiles sigma^2 analytically,
+        load-bearing in `gp4ml` mode).
+      log_nugget: () log of the nugget nu added to the diagonal.
+    """
+
+    log_delta: jax.Array
+    log_sigma2: jax.Array
+    log_nugget: jax.Array
+
+    @property
+    def delta(self) -> jax.Array:
+        return jnp.exp(self.log_delta)
+
+    @property
+    def sigma2(self) -> jax.Array:
+        return jnp.exp(self.log_sigma2)
+
+    @property
+    def nugget(self) -> jax.Array:
+        return jnp.exp(self.log_nugget)
+
+
+def make_params(
+    delta, sigma2=1.0, nugget=0.0, *, dtype=jnp.float32, min_nugget=1e-12
+) -> GPParams:
+    """Build a GPParams pytree from natural-space values.
+
+    A zero nugget is clamped to `min_nugget` so log-space stays finite; the
+    reference achieves exact-interpolation behavior with nugget=0.0 and we
+    reproduce it to within that epsilon (plus the Cholesky jitter ladder in
+    ops.cholesky).
+    """
+    delta = jnp.asarray(delta, dtype=dtype)
+    sigma2 = jnp.asarray(sigma2, dtype=dtype)
+    nugget = jnp.maximum(jnp.asarray(nugget, dtype=dtype), min_nugget)
+    return GPParams(jnp.log(delta), jnp.log(sigma2), jnp.log(nugget))
+
+
+def scaled_sq_dists(x1: jax.Array, x2: jax.Array, delta: jax.Array) -> jax.Array:
+    """sum_l ((x1_il - x2_jl)/delta_l)^2 for all pairs, shape (n1, n2).
+
+    Uses the matmul expansion so the O(n^2 d) work lands on the MXU. A
+    `maximum(0)` clamps the tiny negatives the expansion can produce in
+    fp32. For very small d this is still the right call on TPU: one fused
+    GEMM beats a lane-sliced broadcast subtract.
+    """
+    xs1 = x1 / delta
+    xs2 = x2 / delta
+    n1 = jnp.sum(xs1 * xs1, axis=-1)[:, None]
+    n2 = jnp.sum(xs2 * xs2, axis=-1)[None, :]
+    cross = jnp.dot(xs1, xs2.T, preferred_element_type=xs1.dtype)
+    return jnp.maximum(n1 + n2 - 2.0 * cross, 0.0)
+
+
+def gaussian_corr(x1: jax.Array, x2: jax.Array, params: GPParams) -> jax.Array:
+    """Cross-correlation matrix c(x1_i, x2_j), no nugget, shape (n1, n2)."""
+    return jnp.exp(-scaled_sq_dists(x1, x2, params.delta))
+
+
+def gaussian_corr_self(x: jax.Array, params: GPParams) -> jax.Array:
+    """Training correlation matrix A = c(X, X) + nugget*I, symmetrized.
+
+    The explicit symmetrization (A + A^T)/2 removes the asymmetric fp32
+    rounding of the matmul expansion so downstream Cholesky sees an exactly
+    symmetric operand.
+    """
+    a = gaussian_corr(x, x, params)
+    a = 0.5 * (a + a.T)
+    n = x.shape[0]
+    return a + params.nugget * jnp.eye(n, dtype=a.dtype)

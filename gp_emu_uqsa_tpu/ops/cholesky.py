@@ -1,0 +1,87 @@
+"""Cholesky factorization + triangular solves with a jitter ladder.
+
+The reference (SURVEY.md S4.2) calls numpy.linalg.cholesky /
+scipy.linalg.cho_solve in fp64; TPU has no fp64 matmul path, so fp32
+factorizations of near-singular correlation matrices (tiny nugget, clustered
+inputs) can fail. `cholesky_with_jitter` retries with a geometric jitter
+ladder entirely inside jit (lax.while_loop over a scalar jitter level; the
+factorization itself is XLA's blocked Cholesky, which maps to MXU GEMMs for
+the trailing updates).
+
+Success is detected by the factor containing no NaNs: XLA's cholesky returns
+NaNs below the first failing pivot rather than raising.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _find_jitter(a, initial_jitter, growth, max_tries):
+    """Smallest jitter level (on the ladder) that factorizes `a`.
+
+    Runs under stop_gradient: the selected level is treated as a constant in
+    autodiff, so the retry while_loop never appears on the reverse path.
+    """
+    n = a.shape[-1]
+    eye = jnp.eye(n, dtype=a.dtype)
+    base = jnp.mean(jnp.diagonal(a, axis1=-2, axis2=-1), axis=-1)
+    eps = jnp.asarray(1e-12 if a.dtype == jnp.float64 else 1e-6, dtype=a.dtype)
+    init = jnp.asarray(initial_jitter, dtype=a.dtype)
+
+    def ok(jit_amt):
+        l = lax.linalg.cholesky(a + jit_amt * eye, symmetrize_input=False)
+        return jnp.logical_not(jnp.any(jnp.isnan(l)))
+
+    def cond(state):
+        k, jit_amt = state
+        return jnp.logical_and(k < max_tries, jnp.logical_not(ok(jit_amt)))
+
+    def body(state):
+        k, jit_amt = state
+        new_jit = jnp.where(
+            jit_amt == 0.0, base * eps, jit_amt * jnp.asarray(growth, a.dtype)
+        )
+        return k + 1, new_jit
+
+    _, jit_used = lax.while_loop(cond, body, (jnp.asarray(0, jnp.int32), init))
+    return jit_used
+
+
+@partial(jax.jit, static_argnames=("max_tries",))
+def cholesky_with_jitter(
+    a: jax.Array,
+    initial_jitter: float | jax.Array = 0.0,
+    growth: float = 10.0,
+    max_tries: int = 8,
+) -> tuple[jax.Array, jax.Array]:
+    """Lower Cholesky factor of `a` (+ jitter*I as needed).
+
+    Returns (L, jitter_used). If `a` is factorizable as-is (the common case
+    when the nugget is healthy) no jitter is added. On total failure the
+    factor is NaN and downstream NLL evaluations see +inf via nan-guards.
+    Differentiable: the jitter search runs under stop_gradient, the returned
+    factor is one plain `lax.linalg.cholesky` call.
+    """
+    n = a.shape[-1]
+    jit_used = _find_jitter(
+        lax.stop_gradient(a), initial_jitter, growth, max_tries
+    )
+    eye = jnp.eye(n, dtype=a.dtype)
+    l = lax.linalg.cholesky(a + jit_used * eye, symmetrize_input=False)
+    return l, jit_used
+
+
+def tri_solve(l: jax.Array, b: jax.Array, *, trans: bool = False) -> jax.Array:
+    """Solve L x = b (or L^T x = b when trans) with L lower-triangular."""
+    return lax.linalg.triangular_solve(
+        l, b, left_side=True, lower=True, transpose_a=trans
+    )
+
+
+def cho_solve(l: jax.Array, b: jax.Array) -> jax.Array:
+    """Solve (L L^T) x = b."""
+    return tri_solve(l, tri_solve(l, b), trans=True)
