@@ -1,0 +1,321 @@
+"""Emulator facade: setup / train / final_build (reference top-level API).
+
+Reference parity (SURVEY.md S3 "Package facade", S4.1/S4.2 call stacks):
+
+  emul = setup(config_file, datashuffle=True, scaleinputs=True)
+  train(emul, auto=True, message=False)   # V-set loop -> final build
+  mean, var = emul.predict(x_new)
+
+plus the file-free idiomatic path used by TPU-native code:
+
+  emul = Emulator.from_arrays(x, y, tries=8, ...)
+  emul.train_full()
+
+`train` reproduces the reference workflow: optimize hyperparameters on the
+T set, validate against each V set (standardized errors + Mahalanobis
+distance), fold the V set into T (automatically under `auto=True`, else via
+an input() prompt), retrain, and finally rebuild on all data and write the
+updated beliefs + reordered inputs/outputs files ("-f" suffix) — the
+reference's checkpoint mechanism (SURVEY.md S7.4).
+
+The compute path is jit-compiled JAX throughout; this module is the thin
+host-side driver around it.
+"""
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gp_emu_uqsa_tpu import gp
+from gp_emu_uqsa_tpu.basis import BasisSpec, basis_matrix, linear_basis, parse_basis_strings
+from gp_emu_uqsa_tpu.configs import Beliefs, Config
+from gp_emu_uqsa_tpu.dataio import DataSplits, load_matrix, make_splits, save_matrix
+from gp_emu_uqsa_tpu.inference import MLEConfig, mle_fit
+from gp_emu_uqsa_tpu.kernels import GPParams, make_params
+
+_MIN_NUGGET = 1e-10
+
+
+def _bounds_pair(bounds_list, d):
+    """Reference per-dim [(lo,hi),...] bounds -> (lo_vec, hi_vec) arrays."""
+    if bounds_list is None:
+        return None
+    arr = np.asarray(bounds_list, dtype=np.float64)
+    if arr.ndim == 1:
+        arr = arr[None, :]
+    if len(arr) == 1:
+        arr = np.repeat(arr, d, axis=0)
+    return arr[:, 0], arr[:, 1]
+
+
+@dataclasses.dataclass
+class Emulator:
+    """A (possibly trained) GP emulator plus its provenance."""
+
+    splits: DataSplits
+    spec: BasisSpec
+    active: Optional[list[int]]            # active input columns (None = all)
+    mle_config: MLEConfig
+    beliefs: Optional[Beliefs] = None
+    config: Optional[Config] = None
+    params: Optional[GPParams] = None
+    state: Optional[gp.FitState] = None
+    n_folded: int = 0                      # V sets folded into training so far
+    fixed_beta: Optional[np.ndarray] = None  # set when beliefs.fix_mean
+    dtype: type = jnp.float64
+    seed: int = 0
+
+    # ----- construction ---------------------------------------------------
+
+    @classmethod
+    def from_arrays(
+        cls,
+        x,
+        y,
+        *,
+        basis: Optional[BasisSpec] = None,
+        tv_config=(10, 0, 2),
+        shuffle=True,
+        scale_inputs=True,
+        mode="mucm",
+        tries=8,
+        nugget=_MIN_NUGGET,
+        train_nugget=False,
+        delta_bounds=None,
+        sigma_bounds=None,
+        nugget_bounds=None,
+        dtype=jnp.float64,
+        seed=0,
+    ) -> "Emulator":
+        x = np.asarray(x, dtype=np.float64)
+        if x.ndim == 1:
+            x = x[:, None]
+        d = x.shape[1]
+        splits = make_splits(
+            x, y, tv_config, shuffle=shuffle, scale_inputs=scale_inputs, seed=seed
+        )
+        spec = basis if basis is not None else linear_basis(d)
+        mle = MLEConfig(
+            mode=mode,
+            tries=tries,
+            nugget=max(nugget, _MIN_NUGGET),
+            train_nugget=train_nugget,
+            delta_bounds=delta_bounds,
+            sigma_bounds=sigma_bounds,
+            nugget_bounds=nugget_bounds,
+        )
+        return cls(splits, spec, None, mle, dtype=dtype, seed=seed)
+
+    # ----- data views -----------------------------------------------------
+
+    def _xy(self, rows):
+        x = jnp.asarray(self.splits.x_all[rows], dtype=self.dtype)
+        y = np.asarray(self.splits.y_all[rows])
+        if self.fixed_beta is not None:
+            hfull = np.asarray(basis_matrix(jnp.asarray(self.splits.x_all[rows]), self.spec))
+            y = y - hfull @ self.fixed_beta
+            h = jnp.zeros((len(y), 0), dtype=self.dtype)
+        else:
+            h = basis_matrix(x, self.spec)
+        return x, jnp.asarray(y, dtype=self.dtype), h
+
+    def train_view(self):
+        return self._xy(self.splits.train_rows(self.n_folded))
+
+    def valid_view(self, k):
+        return self._xy(self.splits.v_rows(k))
+
+    # ----- fitting --------------------------------------------------------
+
+    def optimize(self, key=None, message=False):
+        """Multi-restart MLE on the current training set."""
+        if key is None:
+            key = jax.random.key(self.seed + self.n_folded)
+        x, y, h = self.train_view()
+        self.params, info = mle_fit(key, x, y, h, self.mle_config)
+        self.state = gp.fit(self.params, x, y, h, mode=self.mle_config.mode)
+        if message:
+            nlls = np.asarray(info["nlls"])
+            print(
+                f"[optimize] n={len(y)} restarts={self.mle_config.tries} "
+                f"best NLL={float(info['best_nll']):.6g} "
+                f"(finite restarts: {np.isfinite(nlls).sum()}/{len(nlls)}) "
+                f"delta={np.exp(np.asarray(self.params.log_delta))}"
+            )
+        return info
+
+    def validate_against(self, k, message=True):
+        """Reference V-set diagnostics for validation set k."""
+        x, y, h = self.train_view()
+        xv, yv, hv = self.valid_view(k)
+        diag = gp.validate(self.state, x, h, xv, hv, yv)
+        if message:
+            se = np.asarray(diag["std_err"])
+            print(
+                f"[validate set {k}] n_V={len(yv)} "
+                f"|std err|>2: {(np.abs(se) > 2).sum()}/{len(se)}  "
+                f"Mahalanobis={float(diag['mahalanobis']):.4g} "
+                f"(expect {float(diag['mahalanobis_mean']):.4g} "
+                f"+- {float(diag['mahalanobis_sd']):.4g})"
+            )
+        return diag
+
+    # ----- prediction -----------------------------------------------------
+
+    def _prepare_inputs(self, x_new):
+        """Raw-space inputs -> scaled active-dim array + basis matrix."""
+        x_new = np.asarray(x_new, dtype=np.float64)
+        if x_new.ndim == 1:
+            x_new = x_new[:, None]
+        if self.active is not None:
+            x_new = x_new[:, self.active]
+        if self.splits.minmax is not None:
+            mm = np.asarray(self.splits.minmax)
+            lo, hi = mm[:, 0], mm[:, 1]
+            x_new = (x_new - lo) / np.where(hi > lo, hi - lo, 1.0)
+        xs = jnp.asarray(x_new, dtype=self.dtype)
+        if self.fixed_beta is not None:
+            hs = jnp.zeros((len(x_new), 0), dtype=self.dtype)
+        else:
+            hs = basis_matrix(xs, self.spec)
+        return xs, hs
+
+    def predict(self, x_new, *, full_cov=False, include_nugget=False):
+        """Posterior mean and variance at raw-space inputs x_new."""
+        if self.state is None:
+            raise RuntimeError("emulator not trained: call optimize()/train first")
+        x, y, h = self.train_view()
+        xs, hs = self._prepare_inputs(x_new)
+        mean, var = gp.predict(
+            self.state, x, h, xs, hs, full_cov=full_cov, include_nugget=include_nugget
+        )
+        if self.fixed_beta is not None:
+            hraw = basis_matrix(xs, self.spec)
+            mean = mean + hraw @ jnp.asarray(self.fixed_beta, dtype=self.dtype)
+        return mean, var
+
+    def train_full(self, message: bool = False) -> "Emulator":
+        """Idiomatic one-call training on all data (== final_build)."""
+        return final_build(self, message=message)
+
+    # ----- checkpoint export ----------------------------------------------
+
+    def updated_beliefs(self) -> Beliefs:
+        """Beliefs object carrying the trained hyperparameters."""
+        b = self.beliefs if self.beliefs is not None else Beliefs()
+        out = dataclasses.replace(b) if dataclasses.is_dataclass(b) else Beliefs()
+        if self.params is not None:
+            out.delta = [float(v) for v in np.exp(np.asarray(self.params.log_delta))]
+            out.nugget = float(np.exp(self.params.log_nugget))
+            if self.state is not None:
+                out.sigma = float(np.sqrt(float(self.state.sigma2)))
+                if self.fixed_beta is None:
+                    out.beta = [float(v) for v in np.asarray(self.state.beta)]
+        out.mucm = self.mle_config.mode == "mucm"
+        out.fix_nugget = not self.mle_config.train_nugget
+        out.input_minmax = self.splits.minmax
+        return out
+
+
+def setup(
+    config_file,
+    datashuffle: bool = True,
+    scaleinputs: bool = True,
+    *,
+    dtype=jnp.float64,
+    seed: int = 0,
+) -> Emulator:
+    """Build an Emulator from a reference-format config file.
+
+    Mirrors `g.setup(config_file, datashuffle=..., scaleinputs=...)`
+    (SURVEY.md S4.1).
+    """
+    cfg = Config.from_file(config_file)
+    bel = Beliefs.from_file(cfg.beliefs)
+    x_raw = load_matrix(cfg.inputs)
+    y_raw = load_matrix(cfg.outputs)
+    y = y_raw[:, bel.output] if y_raw.ndim == 2 and y_raw.shape[1] > 1 else y_raw.ravel()
+    active = bel.active
+    x = x_raw if active is None else x_raw[:, active]
+    d = x.shape[1]
+
+    spec = parse_basis_strings(bel.basis_str, bel.basis_inf)
+    if not spec.linear_dims and bel.basis_str == ["1.0"] and len(bel.beta) == d + 1:
+        # beliefs wrote only the default; fall back to reference default basis
+        spec = linear_basis(d)
+
+    minmax = bel.input_minmax if not scaleinputs else None
+    splits = make_splits(
+        x,
+        y,
+        cfg.tv_config,
+        shuffle=datashuffle,
+        scale_inputs=scaleinputs,
+        minmax=bel.input_minmax,
+        seed=seed,
+    )
+    db = _bounds_pair(cfg.delta_bounds, d)
+    sb = _bounds_pair(cfg.sigma_bounds, 1)
+    nb = _bounds_pair(cfg.nugget_bounds, 1)
+    mle = MLEConfig(
+        mode="mucm" if bel.mucm else "gp4ml",
+        tries=cfg.tries,
+        nugget=max(bel.nugget, _MIN_NUGGET),
+        train_nugget=not bel.fix_nugget,
+        delta_bounds=db,
+        sigma_bounds=sb,
+        nugget_bounds=nb,
+        constraints="none" if cfg.constraints == "none" else "bounds",
+    )
+    emul = Emulator(
+        splits, spec, active, mle, beliefs=bel, config=cfg, dtype=dtype, seed=seed
+    )
+    if bel.fix_mean:
+        emul.fixed_beta = np.asarray(bel.beta, dtype=np.float64)
+    return emul
+
+
+def train(emul: Emulator, auto: bool = True, message: bool = False) -> Emulator:
+    """Reference training workflow: optimize -> validate -> fold -> retrain.
+
+    Mirrors `g.train(emul, auto=True, message=False)` (SURVEY.md S4.2): with
+    auto=False the fold-in step asks interactively, as the reference does.
+    Ends with `final_build` on all data + beliefs/inputs/outputs write-back.
+    """
+    n_v = emul.splits.n_v_sets
+    emul.optimize(message=message)
+    for k in range(n_v):
+        emul.validate_against(k, message=True)
+        if not auto:
+            ans = input(f"include validation set {k} into training and retrain? [y/n] ")
+            if not ans.strip().lower().startswith("y"):
+                break
+        emul.n_folded = k + 1
+        if emul.n_folded < n_v:   # last fold is re-optimized by final_build
+            emul.optimize(message=message)
+    return final_build(emul, message=message)
+
+
+def final_build(emul: Emulator, message: bool = False) -> Emulator:
+    """Train on ALL data and write updated beliefs + reordered data files."""
+    emul.n_folded = emul.splits.n_v_sets
+    emul.optimize(message=message)
+    if emul.config is not None:
+        suffix = "-f"
+        bel_path = Path(emul.beliefs.path or emul.config.beliefs)
+        out_bel = bel_path.with_name(bel_path.name + suffix)
+        emul.updated_beliefs().to_file(out_bel)
+        x_raw = load_matrix(emul.config.inputs)[emul.splits.order]
+        y_raw = load_matrix(emul.config.outputs)[emul.splits.order]
+        ip = Path(emul.config.inputs)
+        op = Path(emul.config.outputs)
+        save_matrix(ip.with_name(ip.name + suffix), x_raw)
+        save_matrix(op.with_name(op.name + suffix), y_raw)
+        if message:
+            print(f"[final_build] wrote {out_bel}, {ip.name}{suffix}, {op.name}{suffix}")
+    return emul

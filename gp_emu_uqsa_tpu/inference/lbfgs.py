@@ -55,12 +55,16 @@ def _default_bounds(cfg: MLEConfig, d: int):
     db = cfg.delta_bounds if cfg.delta_bounds is not None else (1e-3, 1e3)
     sb = cfg.sigma_bounds if cfg.sigma_bounds is not None else (1e-6, 1e6)
     nb = cfg.nugget_bounds if cfg.nugget_bounds is not None else (1e-10, 1e0)
-    lo = [np.broadcast_to(np.log(db[0]), (d,))]
-    hi = [np.broadcast_to(np.log(db[1]), (d,))]
+    # each bound may be a scalar or a per-dim vector (reference per-dim lists)
+    lo = [np.broadcast_to(np.log(np.asarray(db[0], np.float64)), (d,))]
+    hi = [np.broadcast_to(np.log(np.asarray(db[1], np.float64)), (d,))]
     if cfg.mode == "gp4ml":
-        lo.append(np.log([sb[0]])); hi.append(np.log([sb[1]]))
+        # sigma bound is on sigma (std dev) in the reference; optimize log sigma2
+        lo.append(2.0 * np.log(np.ravel(np.asarray(sb[0], np.float64)))[:1])
+        hi.append(2.0 * np.log(np.ravel(np.asarray(sb[1], np.float64)))[:1])
     if cfg.train_nugget:
-        lo.append(np.log([nb[0]])); hi.append(np.log([nb[1]]))
+        lo.append(np.log(np.ravel(np.asarray(nb[0], np.float64)))[:1])
+        hi.append(np.log(np.ravel(np.asarray(nb[1], np.float64)))[:1])
     return np.concatenate(lo), np.concatenate(hi)
 
 

@@ -1,0 +1,146 @@
+"""End-to-end reference workflow: config/beliefs files -> setup -> train.
+
+Covers SURVEY.md S4.1/S4.2 call stacks and the file-compat surface (S6
+"Config / flag system"), using the shipped toy-sim example as the
+acceptance fixture (the reference's examples-as-tests strategy, S5).
+"""
+import shutil
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+import gp_emu_uqsa_tpu as g
+from gp_emu_uqsa_tpu.configs import Beliefs, Config
+from gp_emu_uqsa_tpu.dataio import make_splits
+
+EXAMPLES = Path(__file__).parent.parent / "examples"
+
+
+@pytest.fixture
+def toy_dir(tmp_path):
+    """Copy the toy-sim example into a writable tmp dir."""
+    src = EXAMPLES / "toy-sim"
+    for f in src.iterdir():
+        if f.is_file():
+            shutil.copy(f, tmp_path / f.name)
+    return tmp_path
+
+
+class TestConfigFiles:
+    def test_config_roundtrip(self, toy_dir):
+        cfg = Config.from_file(toy_dir / "toy-sim_config")
+        assert cfg.tries == 5
+        assert cfg.tv_config == (10, 0, 2)
+        assert cfg.delta_bounds is None
+        cfg.to_file(toy_dir / "rt_config")
+        cfg2 = Config.from_file(toy_dir / "rt_config")
+        assert cfg2.tries == cfg.tries and cfg2.tv_config == cfg.tv_config
+
+    def test_beliefs_roundtrip(self, toy_dir):
+        bel = Beliefs.from_file(toy_dir / "toy-sim_beliefs")
+        assert bel.mucm and bel.fix_nugget and bel.active is None
+        bel.delta = [0.123456]
+        bel.to_file(toy_dir / "rt_beliefs")
+        bel2 = Beliefs.from_file(toy_dir / "rt_beliefs")
+        assert bel2.delta == pytest.approx([0.123456])
+        assert bel2.kernel.startswith("gaussian")
+
+    def test_non_gaussian_kernel_rejected(self, tmp_path):
+        p = tmp_path / "b"
+        p.write_text("kernel matern()\n")
+        with pytest.raises(ValueError, match="Gaussian"):
+            Beliefs.from_file(p)
+
+    def test_bounds_parsing(self, tmp_path):
+        p = tmp_path / "c"
+        p.write_text(
+            "beliefs b\ninputs i\noutputs o\n"
+            "delta_bounds [(0.01, 2.0), (0.05, 3.0)]\n"
+            "sigma_bounds [(0.1, 10.0)]\ntries 3\n"
+        )
+        cfg = Config.from_file(p)
+        assert cfg.delta_bounds == [(0.01, 2.0), (0.05, 3.0)]
+        assert cfg.sigma_bounds == [(0.1, 10.0)]
+
+
+class TestSplits:
+    def test_tv_semantics(self):
+        x = np.arange(40, dtype=float)[:, None]
+        y = np.arange(40, dtype=float)
+        sp = make_splits(x, y, (10, 0, 2), shuffle=False, scale_inputs=False)
+        assert sp.n_v_sets == 2
+        assert len(sp.train_rows(0)) == 32
+        assert len(sp.v_rows(0)) == 4 and len(sp.v_rows(1)) == 4
+        assert len(sp.train_rows(1)) == 36
+        assert len(sp.train_rows(2)) == 40
+        # no overlap, full coverage
+        all_rows = np.concatenate([sp.train_rows(0), sp.v_rows(0), sp.v_rows(1)])
+        assert sorted(all_rows.tolist()) == list(range(40))
+
+    def test_scaling_roundtrip(self):
+        rng = np.random.default_rng(0)
+        x = rng.uniform(-5, 7, size=(30, 3))
+        sp = make_splits(x, np.zeros(30), (5, 0, 1), shuffle=False, scale_inputs=True)
+        assert sp.x_all.min() >= 0 and sp.x_all.max() <= 1
+        mm = np.asarray(sp.minmax)
+        np.testing.assert_allclose(mm[:, 0], x.min(0))
+        np.testing.assert_allclose(mm[:, 1], x.max(0))
+
+    def test_shuffle_preserves_pairs(self):
+        x = np.arange(20, dtype=float)[:, None]
+        y = 2 * np.arange(20, dtype=float)
+        sp = make_splits(x, y, (5, 0, 1), shuffle=True, scale_inputs=False, seed=3)
+        np.testing.assert_allclose(sp.y_all, 2 * sp.x_all[:, 0])
+
+
+class TestEndToEnd:
+    def test_setup_train_predict(self, toy_dir):
+        emul = g.setup(toy_dir / "toy-sim_config")
+        g.train(emul, auto=True, message=False)
+        # trained emulator should reproduce the simulator closely
+        import sys
+        sys.path.insert(0, str(toy_dir))
+        xg = np.linspace(0.05, 1.95, 60)[:, None]
+        truth = 3.0 * xg[:, 0] * np.sin(5.0 * np.pi * xg[:, 0] / 2.0)
+        mean, var = emul.predict(xg)
+        rmse = float(np.sqrt(np.mean((np.asarray(mean) - truth) ** 2)))
+        assert rmse < 0.05, f"toy-sim emulator RMSE too high: {rmse}"
+        # final_build wrote the checkpoint files
+        assert (toy_dir / "toy-sim_beliefs-f").exists()
+        assert (toy_dir / "toy-sim_input-f").exists()
+        assert (toy_dir / "toy-sim_output-f").exists()
+        bel = Beliefs.from_file(toy_dir / "toy-sim_beliefs-f")
+        assert len(bel.delta) == 1 and bel.delta[0] > 0
+        assert bel.input_minmax is not None
+
+    def test_resume_from_written_beliefs(self, toy_dir):
+        """The written-back beliefs file reproduces the trained emulator."""
+        emul = g.setup(toy_dir / "toy-sim_config")
+        g.final_build(emul)
+        mean1, _ = emul.predict(np.array([[0.77], [1.3]]))
+        # resume: new config pointing at the written-back files
+        cfg = Config.from_file(toy_dir / "toy-sim_config")
+        cfg.beliefs = str(toy_dir / "toy-sim_beliefs-f")
+        cfg.inputs = str(toy_dir / "toy-sim_input-f")
+        cfg.outputs = str(toy_dir / "toy-sim_output-f")
+        cfg.to_file(toy_dir / "resume_config")
+        emul2 = g.setup(toy_dir / "resume_config", datashuffle=False, scaleinputs=False)
+        # rebuild posterior at the checkpointed hyperparameters (no re-opt)
+        import jax.numpy as jnp
+        from gp_emu_uqsa_tpu.kernels import make_params
+        from gp_emu_uqsa_tpu import gp as gpmod
+        bel = Beliefs.from_file(cfg.beliefs)
+        emul2.params = make_params(bel.delta, nugget=max(bel.nugget, 1e-10),
+                                   dtype=jnp.float64)
+        x, y, h = emul2.train_view()
+        emul2.state = gpmod.fit(emul2.params, x, y, h)
+        mean2, _ = emul2.predict(np.array([[0.77], [1.3]]))
+        np.testing.assert_allclose(np.asarray(mean1), np.asarray(mean2), rtol=1e-5)
+
+    def test_plot_smoke(self, toy_dir, tmp_path):
+        emul = g.setup(toy_dir / "toy-sim_config")
+        g.final_build(emul)
+        fig = g.plot(emul, [0], mean_or_var="mean", points=30,
+                     save=str(tmp_path / "p.png"))
+        assert (tmp_path / "p.png").exists()
