@@ -1,0 +1,204 @@
+"""UQSA closed forms vs high-precision Gauss-Hermite quadrature.
+
+The analytic MUCM integrals (sensitivity/_core.py) are checked against
+numerical integration of the *exact* emulator posterior (oracle.py), which
+stands in for the unreadable reference: both must agree to quadrature
+precision (SURVEY.md S9.4 'parity with a reference we could not read').
+"""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gp_emu_uqsa_tpu import gp
+from gp_emu_uqsa_tpu.basis import basis_matrix, linear_basis
+from gp_emu_uqsa_tpu.kernels import make_params
+from gp_emu_uqsa_tpu.sensitivity._core import Sensitivity
+
+import oracle
+
+DELTA = np.array([0.6, 1.1])
+NUGGET = 1e-6
+M = np.array([0.45, 0.55])
+V = np.array([0.05, 0.08])
+
+
+def _emulator(n=25, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(size=(n, 2))
+    y = np.sin(3 * x[:, 0]) + 2.0 * x[:, 1] ** 2 + x[:, 0] * x[:, 1]
+    spec = linear_basis(2)
+    h = np.asarray(basis_matrix(jnp.asarray(x), spec))
+    p = make_params(DELTA, nugget=NUGGET, dtype=jnp.float64)
+    state = gp.fit(p, jnp.asarray(x), jnp.asarray(y), jnp.asarray(h))
+    return x, y, h, spec, state
+
+
+def _gh(npts=40):
+    xi, wt = np.polynomial.hermite_e.hermegauss(npts)  # weight e^{-x^2/2}
+    return xi, wt / np.sqrt(2 * np.pi)
+
+
+class _PosteriorOracle:
+    """Exact m*(x), v*(x,x') evaluated via the NumPy oracle."""
+
+    def __init__(self, x, y, h):
+        self.x, self.y, self.h = x, y, h
+
+    def mean_cov(self, xs1, xs2=None):
+        spec_h = lambda xs: np.c_[np.ones(len(xs)), xs]
+        if xs2 is None:
+            mean, cov, _, _ = oracle.posterior(
+                self.x, self.y, self.h, xs1, spec_h(xs1), DELTA, NUGGET
+            )
+            return mean, cov
+        both = np.vstack([xs1, xs2])
+        mean, cov, _, _ = oracle.posterior(
+            self.x, self.y, self.h, both, spec_h(both), DELTA, NUGGET
+        )
+        k = len(xs1)
+        return mean[:k], mean[k:], cov[:k, k:]
+
+
+@pytest.fixture(scope="module")
+def setup_all():
+    x, y, h, spec, state = _emulator()
+    sens = Sensitivity(state, x, spec, M, V)
+    po = _PosteriorOracle(x, y, h)
+    xi, wt = _gh(40)
+    return sens, po, xi, wt
+
+
+def _nodes(i, xi):
+    return M[i] + np.sqrt(V[i]) * xi
+
+
+class TestUncertainty:
+    def test_mean_of_EY(self, setup_all):
+        sens, po, xi, wt = setup_all
+        g1, g2 = _nodes(0, xi), _nodes(1, xi)
+        gg = np.stack(np.meshgrid(g1, g2, indexing="ij"), -1).reshape(-1, 2)
+        ww = np.outer(wt, wt).ravel()
+        mean, _ = po.mean_cov(gg)
+        want = ww @ mean
+        got = float(sens.uncertainty()["E_EY"])
+        np.testing.assert_allclose(got, want, rtol=1e-8)
+
+    def test_variance_of_EY(self, setup_all):
+        sens, po, xi, wt = setup_all
+        g1, g2 = _nodes(0, xi), _nodes(1, xi)
+        gg = np.stack(np.meshgrid(g1, g2, indexing="ij"), -1).reshape(-1, 2)
+        ww = np.outer(wt, wt).ravel()
+        # v0* = sum_{ab} w_a w_b v*(x_a, x_b) over the product grid
+        _, cov = po.mean_cov(gg)
+        want = ww @ cov @ ww
+        got = float(sens.uncertainty()["V_EY"])
+        np.testing.assert_allclose(got, want, rtol=2e-5)
+
+    def test_total_variance(self, setup_all):
+        sens, po, xi, wt = setup_all
+        g1, g2 = _nodes(0, xi), _nodes(1, xi)
+        gg = np.stack(np.meshgrid(g1, g2, indexing="ij"), -1).reshape(-1, 2)
+        ww = np.outer(wt, wt).ravel()
+        mean, cov = po.mean_cov(gg)
+        e_y2 = ww @ (mean**2 + np.diag(cov))
+        e_ey = ww @ mean
+        v_ey = ww @ cov @ ww
+        want = e_y2 - (e_ey**2 + v_ey)
+        got = float(sens.total_variance())
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+class TestSensitivityVariance:
+    @pytest.mark.parametrize("i", [0, 1])
+    def test_first_order_Vi(self, setup_all, i):
+        sens, po, xi, wt = setup_all
+        j = 1 - i
+        gi, gj = _nodes(i, xi), _nodes(j, xi)
+        # M_i(x_i) and v_i*(x_i) by quadrature over x_j (and x_j')
+        e_m2_plus_v = 0.0
+        for a, wa in zip(gi, wt):
+            pts = np.zeros((len(gj), 2))
+            pts[:, i] = a
+            pts[:, j] = gj
+            mean, cov = po.mean_cov(pts)
+            m_i = wt @ mean
+            v_i = wt @ cov @ wt
+            e_m2_plus_v += wa * (m_i**2 + v_i)
+        # base quantities
+        g1, g2 = _nodes(0, xi), _nodes(1, xi)
+        gg = np.stack(np.meshgrid(g1, g2, indexing="ij"), -1).reshape(-1, 2)
+        ww = np.outer(wt, wt).ravel()
+        mean, cov = po.mean_cov(gg)
+        e_ey = ww @ mean
+        v_ey = ww @ cov @ ww
+        want = e_m2_plus_v - (e_ey**2 + v_ey)
+        got = float(sens.sensitivity_variance((i,)))
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    def test_full_subset_equals_total(self, setup_all):
+        sens, _, _, _ = setup_all
+        np.testing.assert_allclose(
+            float(sens.sensitivity_variance((0, 1))),
+            float(sens.total_variance()),
+            rtol=1e-12,
+        )
+
+    def test_total_effect_identity(self, setup_all):
+        sens, _, _, _ = setup_all
+        tot = sens.totaleffectvariance()
+        v_t0 = float(tot["V_Ti"][0])
+        want = float(sens.total_variance()) - float(sens.sensitivity_variance((1,)))
+        np.testing.assert_allclose(v_t0, want, rtol=1e-10)
+        # total effect >= first order (interaction nonneg... holds here)
+        s = sens.sensitivity()
+        assert float(tot["V_Ti"][0]) >= float(s["V_i"][0]) - 1e-10
+
+
+class TestEffectCurves:
+    def test_main_effect_curve(self, setup_all):
+        sens, po, xi, wt = setup_all
+        grid, mean, sd, dev = sens.main_effect(0, points=7, span=1.5)
+        grid = np.asarray(grid)
+        for a, m_got, s_got in zip(grid, np.asarray(mean), np.asarray(sd)):
+            pts = np.zeros((len(xi), 2))
+            pts[:, 0] = a
+            pts[:, 1] = _nodes(1, xi)
+            mg, cov = po.mean_cov(pts)
+            m_want = wt @ mg
+            v_want = wt @ cov @ wt
+            np.testing.assert_allclose(m_got, m_want, rtol=1e-7)
+            np.testing.assert_allclose(s_got, np.sqrt(max(v_want, 0)), rtol=5e-5)
+
+    def test_interaction_surface_zero_mean(self, setup_all):
+        """Interaction deviations integrate to ~0 against each marginal."""
+        sens, _, xi, wt = setup_all
+        gi, gj, surf = sens.interaction_effect(0, 1, points=len(xi), span=1.0)
+        # the quadrature check needs the surface at GH nodes; just sanity:
+        assert np.asarray(surf).shape == (len(xi), len(xi))
+        assert np.all(np.isfinite(np.asarray(surf)))
+
+
+class TestProperties:
+    def test_additive_function_indices(self):
+        """For y = f1(x1) + f2(x2), interactions vanish: S_1 + S_2 ~= 1."""
+        rng = np.random.default_rng(5)
+        x = rng.uniform(size=(40, 2))
+        y = np.sin(4 * x[:, 0]) + 2.0 * x[:, 1]
+        spec = linear_basis(2)
+        h = basis_matrix(jnp.asarray(x), spec)
+        p = make_params(np.array([0.5, 0.9]), nugget=1e-8, dtype=jnp.float64)
+        state = gp.fit(p, jnp.asarray(x), jnp.asarray(y), h)
+        sens = Sensitivity(state, x, spec, M, V)
+        s = sens.sensitivity()
+        total = float(np.asarray(s["S_i"]).sum())
+        assert 0.97 < total < 1.03
+        tot = sens.totaleffectvariance()
+        np.testing.assert_allclose(
+            np.asarray(tot["S_Ti"]), np.asarray(s["S_i"]), atol=0.03
+        )
+
+    def test_to_file(self, setup_all, tmp_path):
+        sens, _, _, _ = setup_all
+        sens.to_file(tmp_path / "sens.txt")
+        text = (tmp_path / "sens.txt").read_text()
+        assert "E*[E(Y)]" in text and "S_Ti" in text
