@@ -30,6 +30,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from gp_emu_uqsa_tpu.kernels import GPParams, gaussian_corr, gaussian_corr_self
 from gp_emu_uqsa_tpu.ops.cholesky import cholesky_with_jitter, tri_solve
@@ -177,6 +178,57 @@ def predict(
         lg_inv_r * lg_inv_r, axis=0
     )
     return mean, state.sigma2 * jnp.maximum(var, 0.0)
+
+
+class Predictor(NamedTuple):
+    """Serving-path state: everything prediction needs, GEMM-only.
+
+    TPU-first design: the exact predict() path pays an O(n^2 m) triangular
+    solve per batch — TRSM maps poorly onto the MXU. Precomputing
+    A^-1 (one O(n^3) cost at fit time) turns the variance term
+    t(x)^T A^-1 t(x) into a plain GEMM + elementwise reduce, and the
+    R-term likewise, so batched prediction runs at matmul speed. Accuracy
+    cost is ~kappa(A)*eps relative on the variance, fine for serving.
+    """
+
+    params: GPParams
+    beta: jax.Array       # (q,)
+    e: jax.Array          # (n,)
+    ainv: jax.Array       # (n, n)
+    ainv_h_w: jax.Array   # (n, q) A^-1 H G^-1 (half of the R-term quadratic)
+    ainv_h: jax.Array     # (n, q)
+    w_chol: jax.Array     # (q, q) lower chol of G^-1
+    sigma2: jax.Array
+
+
+def predictor(state: FitState, x=None, h=None) -> Predictor:
+    """Build the GEMM-only serving predictor from a fit state."""
+    n = state.l.shape[0]
+    dtype = state.l.dtype
+    linv = tri_solve(state.l, jnp.eye(n, dtype=dtype))
+    ainv = linv.T @ linv
+    q = state.lg.shape[0]
+    lg_inv = tri_solve(state.lg, jnp.eye(q, dtype=dtype))
+    w = lg_inv.T @ lg_inv                      # G^-1
+    w_chol = lax.linalg.cholesky(w, symmetrize_input=True)
+    return Predictor(
+        state.params, state.beta, state.e, ainv, state.ainv_h @ w,
+        state.ainv_h, w_chol, state.sigma2,
+    )
+
+
+def predict_fast(pred: Predictor, x, xstar, hstar, *, include_nugget=False):
+    """Batched posterior mean/var via GEMMs only (serving hot path)."""
+    c_star = gaussian_corr(xstar, x, pred.params)          # (m, n)
+    mean = hstar @ pred.beta + c_star @ pred.e
+    av = c_star @ pred.ainv                                # (m, n) GEMM
+    quad_t = jnp.sum(av * c_star, axis=1)
+    r = hstar - c_star @ pred.ainv_h                       # (m, q)
+    rw = r @ pred.w_chol                                   # (m, q)
+    quad_r = jnp.sum(rw * rw, axis=1)
+    prior = 1.0 + (pred.params.nugget if include_nugget else 0.0)
+    var = pred.sigma2 * jnp.maximum(prior - quad_t + quad_r, 0.0)
+    return mean, var
 
 
 def validate(state: FitState, x, h, xv, hv, yv):

@@ -1,0 +1,304 @@
+"""HMC over GP hyperparameters — chains batched on-chip, sharded over mesh.
+
+No reference counterpart (SURVEY.md S3 parallelism inventory: the reference
+is single-threaded NumPy). This is the BASELINE.json north-star component:
+"NUTS/HMC over kernel hyperparameters, chains sharded across a multi-host
+v5p slice, step-size/mass-matrix adaptation via psum collectives".
+
+Design:
+  * The chain axis is a LEADING ARRAY AXIS of one jit program, not a Python
+    loop: each HMC step leapfrogs all local chains at once (batched n x n
+    Cholesky on the MXU via vmap), and the whole warmup+sampling run is one
+    `lax.scan`.
+  * Cross-chain adaptation statistics (mean acceptance for dual-averaging
+    step size, pooled variance for the diagonal mass matrix) are computed
+    with `_pmean`: a local mean plus `lax.pmean` over the mesh axis when an
+    axis name is given. Under `shard_map` over axis "chains" the SAME code
+    runs multi-chip with the reductions riding ICI; single-chip it runs
+    unchanged with the collective a no-op.
+  * Warmup schedule (Stan-like, simplified to three static stages so the
+    scan body stays branch-free):
+      stage 1 [0, w/4):       step-size search, identity mass
+      stage 2 [w/4, 3w/4):    step-size search + Welford variance accumulation
+      boundary at 3w/4:       set inv-mass from pooled variance, reset dual
+                              averaging around the current step size
+      stage 3 [3w/4, w):      re-adapt step size under the new metric
+  * Divergences are energy errors > `divergence_threshold`; diverging
+    proposals are rejected, never propagated.
+
+The target density is supplied as `logdensity(z)` for a flat parameter
+vector z (use `make_gp_logdensity` for the GP marginal posterior).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gp_emu_uqsa_tpu import gp
+from gp_emu_uqsa_tpu.inference.lbfgs import MLEConfig, _unpack
+
+
+@dataclasses.dataclass(frozen=True)
+class HMCConfig:
+    n_warmup: int = 500
+    n_samples: int = 500
+    n_leapfrog: int = 16
+    init_step_size: float = 0.1
+    target_accept: float = 0.8
+    divergence_threshold: float = 1000.0
+    da_t0: float = 10.0          # dual-averaging offset
+    da_gamma: float = 0.05
+    da_kappa: float = 0.75
+    thin: int = 1
+
+
+def _pmean(x, axis_name: Optional[str]):
+    """Mean over local chains, then over the mesh axis if sharded."""
+    local = jnp.mean(x, axis=0)
+    if axis_name is not None:
+        local = jax.lax.pmean(local, axis_name)
+    return local
+
+
+def _leapfrog(logdens_grad, z, p, inv_mass, eps, n_steps):
+    """Batched leapfrog; z, p are (chains, dim)."""
+
+    def step(carry, _):
+        z, p = carry
+        _, g = logdens_grad(z)
+        p = p + 0.5 * eps * g
+        z = z + eps * (inv_mass * p)
+        _, g = logdens_grad(z)
+        p = p + 0.5 * eps * g
+        return (z, p), None
+
+    (z, p), _ = jax.lax.scan(step, (z, p), None, length=n_steps)
+    return z, p
+
+
+def hmc_sample(
+    key,
+    logdensity: Callable,
+    z0,
+    cfg: HMCConfig = HMCConfig(),
+    *,
+    axis_name: Optional[str] = None,
+):
+    """Run warmup + sampling for all (local) chains in one scan.
+
+    Args:
+      key: PRNG key (same on every shard; it is folded with the chain axis
+        position internally, so shards stay decorrelated under shard_map).
+      logdensity: scalar log-density of one chain's parameter vector.
+      z0: (chains, dim) initial positions (local shard under shard_map).
+      axis_name: mesh axis for cross-chain adaptation collectives.
+
+    Returns (samples (chains, n_kept, dim), stats dict).
+    """
+    z0 = jnp.asarray(z0)
+    n_chains, dim = z0.shape
+    dtype = z0.dtype
+
+    def ld_one(z):
+        return logdensity(z)
+
+    vgrad = jax.vmap(jax.value_and_grad(ld_one))
+
+    w = cfg.n_warmup
+    s2_end = 3 * w // 4
+    s2_start = w // 4
+    mu0 = jnp.log(10.0 * cfg.init_step_size)
+
+    def hmc_step(z, key, eps, inv_mass):
+        kp, ka = jax.random.split(key)
+        p = jax.random.normal(kp, z.shape, dtype) / jnp.sqrt(inv_mass)
+        ld0, _ = vgrad(z)
+        ke0 = 0.5 * jnp.sum(inv_mass * p * p, axis=1)
+        z_new, p_new = _leapfrog(vgrad, z, p, inv_mass, eps, cfg.n_leapfrog)
+        ld1, _ = vgrad(z_new)
+        ke1 = 0.5 * jnp.sum(inv_mass * p_new * p_new, axis=1)
+        # -dH = (ld1 - ke1) - (ld0 - ke0); accept with prob min(1, exp(-dH))
+        energy_err = (ld1 - ke1) - (ld0 - ke0)
+        # NaN-safe: treat non-finite proposals as -inf density
+        energy_err = jnp.where(jnp.isfinite(energy_err), energy_err, -jnp.inf)
+        accept_prob = jnp.minimum(1.0, jnp.exp(energy_err))
+        diverged = energy_err < -cfg.divergence_threshold
+        u = jax.random.uniform(ka, (z.shape[0],), dtype)
+        take = jnp.logical_and(u < accept_prob, jnp.logical_not(diverged))
+        z = jnp.where(take[:, None], z_new, z)
+        return z, accept_prob, diverged
+
+    def warmup_body(carry, inp):
+        (z, log_eps, log_eps_bar, hbar, mu, welf_n, welf_mean, welf_m2,
+         inv_mass) = carry
+        step_idx, key = inp
+        eps = jnp.exp(log_eps)
+        z, accept_prob, _ = hmc_step(z, key, eps, inv_mass)
+        # --- cross-chain dual averaging -----------------------------------
+        mean_accept = _pmean(accept_prob, axis_name)
+        t = step_idx.astype(dtype) + 1.0
+        # the DA clock restarts after the metric switch (stage 3)
+        t_eff = jnp.where(step_idx >= s2_end, t - s2_end, t)
+        hbar = (1.0 - 1.0 / (t_eff + cfg.da_t0)) * hbar + (
+            cfg.target_accept - mean_accept
+        ) / (t_eff + cfg.da_t0)
+        log_eps_new = mu - jnp.sqrt(t_eff) / cfg.da_gamma * hbar
+        pow_t = t_eff ** (-cfg.da_kappa)
+        log_eps_bar = pow_t * log_eps_new + (1.0 - pow_t) * log_eps_bar
+        log_eps = log_eps_new
+        # --- Welford accumulation (stage 2 only) --------------------------
+        in_stage2 = jnp.logical_and(step_idx >= s2_start, step_idx < s2_end)
+        wn = welf_n + jnp.where(in_stage2, 1.0, 0.0)
+        delta = z - welf_mean
+        welf_mean = jnp.where(in_stage2, welf_mean + delta / jnp.maximum(wn, 1.0),
+                              welf_mean)
+        welf_m2 = jnp.where(in_stage2, welf_m2 + delta * (z - welf_mean), welf_m2)
+        welf_n = wn
+        # --- metric switch at the end of stage 2 --------------------------
+        def switch_metric(args):
+            welf_n, welf_m2, log_eps_bar, hbar = args
+            var_local = jnp.mean(welf_m2, axis=0) / jnp.maximum(welf_n - 1.0, 1.0)
+            var = var_local if axis_name is None else jax.lax.pmean(
+                var_local, axis_name
+            )
+            # Stan-style regularization toward a small unit metric
+            reg = (welf_n / (welf_n + 5.0)) * var + (5.0 / (welf_n + 5.0)) * 1e-3
+            new_mu = jnp.log(10.0) + log_eps_bar   # re-center DA on current eps
+            return (reg, log_eps_bar, log_eps_bar, jnp.zeros_like(hbar), new_mu)
+
+        is_switch = step_idx == (s2_end - 1)
+        inv_mass, log_eps, log_eps_bar, hbar, mu = jax.tree.map(
+            lambda a, b: jnp.where(is_switch, a, b),
+            switch_metric((welf_n, welf_m2, log_eps_bar, hbar)),
+            (inv_mass, log_eps, log_eps_bar, hbar, mu),
+        )
+        return (z, log_eps, log_eps_bar, hbar, mu, welf_n, welf_mean, welf_m2,
+                inv_mass), mean_accept
+
+    def sample_body(carry, key):
+        z, eps, inv_mass = carry
+        z, accept_prob, diverged = hmc_step(z, key, eps, inv_mass)
+        return (z, eps, inv_mass), (z, accept_prob, diverged)
+
+    k_warm, k_samp = jax.random.split(jnp.asarray(key))
+    warm_keys = jax.random.split(k_warm, w)
+    init = (
+        z0,
+        jnp.asarray(np.log(cfg.init_step_size), dtype),   # log_eps
+        jnp.asarray(np.log(cfg.init_step_size), dtype),   # log_eps_bar
+        jnp.asarray(0.0, dtype),                          # hbar
+        jnp.asarray(mu0, dtype),                          # mu
+        jnp.asarray(0.0, dtype),                          # welford n
+        jnp.zeros_like(z0),                               # welford mean
+        jnp.zeros_like(z0),                               # welford m2
+        jnp.ones((dim,), dtype),                          # inv mass
+    )
+    steps = jnp.arange(w)
+    carry, warm_accepts = jax.lax.scan(warmup_body, init, (steps, warm_keys))
+    z, log_eps, log_eps_bar, _, _, _, _, _, inv_mass = carry
+    eps_final = jnp.exp(log_eps_bar)
+
+    samp_keys = jax.random.split(k_samp, cfg.n_samples)
+    _, (zs, accepts, diverged) = jax.lax.scan(
+        sample_body, (z, eps_final, inv_mass), samp_keys
+    )
+    # (n_samples, chains, dim) -> (chains, n_samples, dim), thinned
+    zs = jnp.swapaxes(zs, 0, 1)[:, :: cfg.thin]
+    stats = {
+        "step_size": eps_final,
+        "inv_mass": inv_mass,
+        "accept_rate": jnp.mean(accepts),
+        "divergence_rate": jnp.mean(diverged.astype(dtype)),
+        "warmup_accept_trace": warm_accepts,
+    }
+    return zs, stats
+
+
+def split_rhat(samples) -> jax.Array:
+    """Split-R-hat per dimension; samples (chains, n, dim)."""
+    c, n, d = samples.shape
+    half = n // 2
+    split = samples[:, : 2 * half].reshape(2 * c, half, d)
+    chain_means = jnp.mean(split, axis=1)                 # (2c, d)
+    chain_vars = jnp.var(split, axis=1, ddof=1)           # (2c, d)
+    w_var = jnp.mean(chain_vars, axis=0)
+    b_var = half * jnp.var(chain_means, axis=0, ddof=1)
+    var_post = (half - 1) / half * w_var + b_var / half
+    return jnp.sqrt(var_post / w_var)
+
+
+def ess(samples) -> np.ndarray:
+    """Bulk effective sample size per dimension (Geyer initial positive seq).
+
+    samples (chains, n, dim). Host-side diagnostic (NumPy, FFT
+    autocorrelation) — runs once per chain batch, not in the hot path.
+    """
+    s = np.asarray(samples)
+    c, n, d = s.shape
+    x = s - s.mean(axis=1, keepdims=True)
+    var = np.mean(s.var(axis=1, ddof=1), axis=0)             # (d,)
+    nfft = 1 << (2 * n - 1).bit_length()
+    f = np.fft.rfft(x, nfft, axis=1)
+    acov = np.fft.irfft(f * np.conj(f), nfft, axis=1)[:, :n].real / n
+    rho = np.mean(acov, axis=0) / np.maximum(var, 1e-300)    # (n, d)
+    out = np.empty(d)
+    for k in range(d):
+        pair = rho[1:-1:2, k] + rho[2::2, k]                 # (r1+r2), (r3+r4)..
+        tau = 1.0
+        for p in pair:
+            if p <= 0:
+                break
+            tau += 2.0 * p
+        out[k] = c * n / max(tau, 1.0)
+    return out
+
+
+def make_gp_logdensity(x, y, h, cfg: MLEConfig, prior_scale: float = 3.0,
+                       prior_mean: float = 0.0):
+    """Log posterior density over the flat log-parameter vector z.
+
+    density = -NLL(params(z)) + N(prior_mean, prior_scale^2) log-prior on z
+    (weakly-informative log-normal priors on delta/sigma/nugget).
+    """
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    h = jnp.asarray(h)
+    d = x.shape[1]
+
+    def logdensity(z):
+        params = _unpack(z, cfg, d, x.dtype)
+        nll_val = gp.nll(params, x, y, h, mode=cfg.mode)
+        nll_val = jnp.where(jnp.isfinite(nll_val), nll_val, 1e12)
+        lp = -0.5 * jnp.sum(((z - prior_mean) / prior_scale) ** 2)
+        return -nll_val + lp
+
+    return logdensity
+
+
+def predict_marginalized(z_samples, x, y, h, xs, hs, cfg: MLEConfig,
+                         max_draws: int = 64):
+    """Posterior-predictive mean/var marginalized over hyperparameter draws.
+
+    Mixture moments over S thinned draws:
+      E[y*] = mean_s m_s,  V[y*] = mean_s (v_s + m_s^2) - E[y*]^2.
+    """
+    x, y, h = jnp.asarray(x), jnp.asarray(y), jnp.asarray(h)
+    xs, hs = jnp.asarray(xs), jnp.asarray(hs)
+    d = x.shape[1]
+    flat = z_samples.reshape(-1, z_samples.shape[-1])
+    stride = max(1, flat.shape[0] // max_draws)
+    flat = flat[::stride][:max_draws]
+
+    def one(z):
+        params = _unpack(z, cfg, d, x.dtype)
+        state = gp.fit(params, x, y, h, mode=cfg.mode)
+        return gp.predict(state, x, h, xs, hs)
+
+    means, variances = jax.lax.map(one, flat)
+    e_mean = jnp.mean(means, axis=0)
+    e_var = jnp.mean(variances + means**2, axis=0) - e_mean**2
+    return e_mean, jnp.maximum(e_var, 0.0)

@@ -79,7 +79,14 @@ def scaled_sq_dists(x1: jax.Array, x2: jax.Array, delta: jax.Array) -> jax.Array
     xs2 = x2 / delta
     n1 = jnp.sum(xs1 * xs1, axis=-1)[:, None]
     n2 = jnp.sum(xs2 * xs2, axis=-1)[None, :]
-    cross = jnp.dot(xs1, xs2.T, preferred_element_type=xs1.dtype)
+    # HIGHEST precision: on TPU the default fp32 matmul rounds through
+    # bf16, which is too coarse for distances that feed an exp(); the d-dim
+    # contraction is a tiny fraction of total FLOPs, so full precision here
+    # costs ~nothing and keeps correlations accurate to fp32.
+    cross = jnp.dot(
+        xs1, xs2.T, preferred_element_type=xs1.dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     return jnp.maximum(n1 + n2 - 2.0 * cross, 0.0)
 
 

@@ -1,0 +1,75 @@
+"""Sharded batched prediction over the `data` mesh axis.
+
+BASELINE.json config 5 shape: predict at up to 10^6 points against a large
+training set. Prediction is row-parallel in the query points: each chip
+takes a contiguous shard of X*, computes its cross-correlation block
+against the (replicated) training set, and produces its shard of mean/var.
+No collectives are needed on this axis — XLA keeps the entire computation
+local per shard; the training-set factorizations are computed once and
+replicated.
+
+(The further step — training set itself sharded with `ppermute`
+ring-streaming of t(x) blocks, for n too large to replicate — is the
+roadmap item in SURVEY.md S6 "long context"; this module is the data-axis
+half of that design.)
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gp_emu_uqsa_tpu import gp
+
+
+def pad_to_multiple(a, mult, axis=0):
+    """Pad rows so the shard axis divides evenly; returns (padded, n_orig)."""
+    n = a.shape[axis]
+    rem = (-n) % mult
+    if rem == 0:
+        return a, n
+    pad = [(0, 0)] * a.ndim
+    pad[axis] = (0, rem)
+    return jnp.pad(a, pad), n
+
+
+def predict_sharded(
+    state: gp.FitState,
+    x,
+    h,
+    xstar,
+    hstar,
+    mesh: Mesh,
+    *,
+    axis: str = "data",
+    include_nugget: bool = False,
+):
+    """Posterior mean/var at xstar, sharded over `axis` of the mesh.
+
+    Training arrays and the fit state are replicated; query rows are sharded.
+    Returns full (unsharded host-viewable) mean/var arrays of len(xstar).
+    """
+    n_shards = mesh.shape[axis]
+    xs_p, n_orig = pad_to_multiple(jnp.asarray(xstar), n_shards)
+    hs_p, _ = pad_to_multiple(jnp.asarray(hstar), n_shards)
+
+    shard = NamedSharding(mesh, P(axis))
+    repl = NamedSharding(mesh, P())
+
+    @partial(
+        jax.jit,
+        out_shardings=(shard, shard),
+        static_argnames=("include_nugget",),
+    )
+    def _run(state, x, h, xs, hs, include_nugget=False):
+        return gp.predict(state, x, h, xs, hs, include_nugget=include_nugget)
+
+    xs_p = jax.device_put(xs_p, shard)
+    hs_p = jax.device_put(hs_p, shard)
+    state = jax.device_put(state, repl)
+    x = jax.device_put(jnp.asarray(x), repl)
+    h = jax.device_put(jnp.asarray(h), repl)
+    mean, var = _run(state, x, h, xs_p, hs_p, include_nugget=include_nugget)
+    return mean[:n_orig], var[:n_orig]

@@ -163,3 +163,20 @@ class TestPosterior:
             v = sig2 * a[i, i] - ti @ np.linalg.solve(ai, ti)
             np.testing.assert_allclose(loo_mean[i], mu, rtol=1e-6)
             np.testing.assert_allclose(loo_var[i], v, rtol=1e-6)
+
+
+class TestFastPredictor:
+    def test_matches_exact_path(self):
+        x, y = _problem()
+        xs = np.random.default_rng(9).uniform(size=(33, 3))
+        spec = linear_basis(3)
+        h = basis_matrix(jnp.asarray(x), spec)
+        hs = basis_matrix(jnp.asarray(xs), spec)
+        p = make_params(DELTA, nugget=1e-6, dtype=jnp.float64)
+        st = gp.fit(p, jnp.asarray(x), jnp.asarray(y), h)
+        pred = gp.predictor(st)
+        mf, vf = gp.predict_fast(pred, jnp.asarray(x), jnp.asarray(xs), hs)
+        me, ve = gp.predict(st, jnp.asarray(x), h, jnp.asarray(xs), hs)
+        np.testing.assert_allclose(np.asarray(mf), np.asarray(me), rtol=1e-10)
+        np.testing.assert_allclose(np.asarray(vf), np.asarray(ve),
+                                   rtol=1e-6, atol=1e-12)

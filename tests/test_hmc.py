@@ -1,0 +1,117 @@
+"""HMC: stationarity on a known Gaussian, GP posterior smoke, sharded chains."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from jax.sharding import Mesh, PartitionSpec as P
+
+from gp_emu_uqsa_tpu.basis import basis_matrix, linear_basis
+from gp_emu_uqsa_tpu.inference import MLEConfig, mle_fit
+from gp_emu_uqsa_tpu.inference.hmc import (
+    HMCConfig, ess, hmc_sample, make_gp_logdensity, predict_marginalized,
+    split_rhat,
+)
+
+import oracle
+
+
+def test_gaussian_target_moments():
+    """Chains must recover mean/cov of an anisotropic Gaussian target."""
+    var = jnp.asarray([0.5, 4.0, 0.02])
+    mean = jnp.asarray([1.0, -2.0, 0.3])
+
+    def logdensity(z):
+        return -0.5 * jnp.sum((z - mean) ** 2 / var)
+
+    cfg = HMCConfig(n_warmup=400, n_samples=600, n_leapfrog=8,
+                    init_step_size=0.2)
+    z0 = jax.random.normal(jax.random.key(1), (8, 3), jnp.float64)
+    samples, stats = jax.jit(
+        lambda k, z: hmc_sample(k, logdensity, z, cfg)
+    )(jax.random.key(0), z0)
+    flat = np.asarray(samples).reshape(-1, 3)
+    np.testing.assert_allclose(flat.mean(0), np.asarray(mean), atol=0.25)
+    np.testing.assert_allclose(flat.var(0), np.asarray(var), rtol=0.35)
+    assert 0.6 < float(stats["accept_rate"]) <= 1.0
+    assert float(stats["divergence_rate"]) < 0.05
+    rhat = np.asarray(split_rhat(samples))
+    assert np.all(rhat < 1.15), rhat
+    # mass adaptation should have learned the scale ordering
+    inv_mass = np.asarray(stats["inv_mass"])
+    assert inv_mass[1] > inv_mass[2]
+
+
+def test_ess_reasonable():
+    """ESS of iid samples ~ total draws; of constant-ish series, small."""
+    rng = np.random.default_rng(0)
+    iid = jnp.asarray(rng.standard_normal((4, 200, 2)))
+    e = np.asarray(ess(iid))
+    assert np.all(e > 300)  # 800 total draws, iid => near 800
+
+
+def _gp_problem():
+    rng = np.random.default_rng(3)
+    x = rng.uniform(size=(40, 2))
+    a = oracle.corr_self(x, np.array([0.4, 0.7]), 1e-6)
+    y = np.linalg.cholesky(a) @ rng.standard_normal(40)
+    h = np.asarray(basis_matrix(jnp.asarray(x), linear_basis(2)))
+    return x, y, h
+
+
+def test_gp_hyperparameter_posterior():
+    x, y, h = _gp_problem()
+    cfg = MLEConfig(mode="mucm", nugget=1e-6)
+    logdensity = make_gp_logdensity(x, y, h, cfg)
+    z0 = jnp.log(0.5) + 0.1 * jax.random.normal(
+        jax.random.key(2), (6, 2), jnp.float64
+    )
+    hmc_cfg = HMCConfig(n_warmup=200, n_samples=200, n_leapfrog=10,
+                        init_step_size=0.1)
+    samples, stats = hmc_sample(jax.random.key(3), logdensity, z0, hmc_cfg)
+    assert np.all(np.isfinite(np.asarray(samples)))
+    assert float(stats["accept_rate"]) > 0.5
+    # posterior should concentrate near the MLE lengthscales
+    params_mle, _ = mle_fit(jax.random.key(4), x, y, h, cfg)
+    post_mean = np.asarray(samples).reshape(-1, 2).mean(0)
+    mle_ld = np.asarray(params_mle.log_delta)
+    assert np.all(np.abs(post_mean - mle_ld) < 1.0), (post_mean, mle_ld)
+    # marginalized prediction runs and matches point-prediction scale
+    xs = np.random.default_rng(5).uniform(size=(7, 2))
+    hs = np.asarray(basis_matrix(jnp.asarray(xs), linear_basis(2)))
+    pm, pv = predict_marginalized(samples, x, y, h, xs, hs, cfg, max_draws=16)
+    assert np.all(np.isfinite(np.asarray(pm)))
+    assert np.all(np.asarray(pv) >= 0)
+
+
+def test_sharded_chains_match_unsharded():
+    """shard_map over 8 CPU devices: same code, statistically same result."""
+    var = jnp.asarray([1.0, 0.25])
+
+    def logdensity(z):
+        return -0.5 * jnp.sum(z * z / var)
+
+    cfg = HMCConfig(n_warmup=300, n_samples=400, n_leapfrog=8)
+    n_chains = 16
+    z0 = jax.random.normal(jax.random.key(7), (n_chains, 2), jnp.float64)
+
+    devices = jax.devices()
+    assert len(devices) == 8, "conftest must provide 8 virtual CPU devices"
+    mesh = Mesh(np.array(devices), ("chains",))
+
+    def sharded(key, z0):
+        return jax.shard_map(
+            lambda k, z: hmc_sample(k, logdensity, z, cfg, axis_name="chains"),
+            mesh=mesh,
+            in_specs=(P(), P("chains")),
+            out_specs=(P("chains"), P()),
+            check_vma=False,
+        )(key, z0)
+
+    samples_sh, stats_sh = jax.jit(sharded)(jax.random.key(8), z0)
+    assert samples_sh.shape[0] == n_chains
+    flat = np.asarray(samples_sh).reshape(-1, 2)
+    np.testing.assert_allclose(flat.mean(0), 0.0, atol=0.2)
+    np.testing.assert_allclose(flat.var(0), np.asarray(var), rtol=0.35)
+    # cross-chain adaptation produced a single consistent step size
+    assert float(stats_sh["accept_rate"]) > 0.5

@@ -1,0 +1,52 @@
+"""Sharded-vs-unsharded equality on the 8-device CPU mesh (SURVEY.md S9.5)."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gp_emu_uqsa_tpu import gp
+from gp_emu_uqsa_tpu.basis import basis_matrix, linear_basis
+from gp_emu_uqsa_tpu.kernels import make_params
+from gp_emu_uqsa_tpu.parallel import make_mesh, predict_sharded
+
+
+def _fit_problem(n=40, d=3, m=101):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(size=(n, d)))
+    y = jnp.sin(2 * x[:, 0]) + x[:, 1] * x[:, 2]
+    spec = linear_basis(d)
+    h = basis_matrix(x, spec)
+    xs = jnp.asarray(rng.uniform(size=(m, d)))
+    hs = basis_matrix(xs, spec)
+    p = make_params(np.full(d, 0.7), nugget=1e-6, dtype=jnp.float64)
+    state = gp.fit(p, x, y, h)
+    return state, x, h, xs, hs
+
+
+def test_predict_sharded_matches_local():
+    state, x, h, xs, hs = _fit_problem(m=101)  # 101 is NOT divisible by 8
+    mesh = make_mesh({"data": 8})
+    mean_s, var_s = predict_sharded(state, x, h, xs, hs, mesh)
+    mean_l, var_l = gp.predict(state, x, h, xs, hs)
+    np.testing.assert_allclose(np.asarray(mean_s), np.asarray(mean_l), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(var_s), np.asarray(var_l), rtol=1e-10, atol=1e-14)
+
+
+def test_2d_mesh_axes():
+    mesh = make_mesh({"chains": 4, "data": 2})
+    assert mesh.shape["chains"] == 4 and mesh.shape["data"] == 2
+    state, x, h, xs, hs = _fit_problem(m=16)
+    mean_s, var_s = predict_sharded(state, x, h, xs, hs, mesh)
+    mean_l, _ = gp.predict(state, x, h, xs, hs)
+    np.testing.assert_allclose(np.asarray(mean_s), np.asarray(mean_l), rtol=1e-12)
+
+
+def test_graft_entry_roundtrip():
+    import sys, pathlib
+    sys.path.insert(0, str(pathlib.Path(__file__).parent.parent))
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+    assert np.all(np.isfinite(np.asarray(out[0])))
+    ge.dryrun_multichip(8)
