@@ -55,12 +55,17 @@ class FitState(NamedTuple):
     nll: jax.Array        # ()     NLL at these params
 
 
-def _common(params: GPParams, x, y, h):
+def _common(params: GPParams, x, y, h, noise_diag=None):
     """Shared pipeline: factorize A, whiten y and H, GLS beta, residual.
 
     Returns everything both likelihood modes and the fit state need.
+    noise_diag: optional per-point noise variances added to the diagonal
+    (heteroscedastic nugget, in correlation units) — the Goldberg-style
+    noise-fit path (noise_fit/).
     """
     a = gaussian_corr_self(x, params)
+    if noise_diag is not None:
+        a = a + jnp.diag(jnp.asarray(noise_diag, a.dtype))
     l, jitter = cholesky_with_jitter(a)
     linv_y = tri_solve(l, y[:, None])[:, 0]          # L^-1 y
     linv_h = tri_solve(l, h)                         # L^-1 H
@@ -86,44 +91,48 @@ def _guard(nll: jax.Array) -> jax.Array:
     return jnp.where(jnp.isfinite(nll), nll, jnp.asarray(jnp.inf, nll.dtype))
 
 
-def nll_mucm(params: GPParams, x, y, h) -> jax.Array:
+def nll_mucm(params: GPParams, x, y, h, noise_diag=None) -> jax.Array:
     """Concentrated (MUCM) negative log-likelihood; sigma^2 profiled out.
 
     Reference: `Optimize.loglikelihood_mucm` (SURVEY.md S3/S4.2).
     """
     n, q = h.shape[0], h.shape[1]
-    (_, _, _, _, _, _, _, resid, logdet_a, logdet_g) = _common(params, x, y, h)
+    (_, _, _, _, _, _, _, resid, logdet_a, logdet_g) = _common(
+        params, x, y, h, noise_diag
+    )
     dof = n - q - 2
     sigma2_hat = resid / dof
     nll = 0.5 * (n - q) * jnp.log(sigma2_hat) + 0.5 * logdet_a + 0.5 * logdet_g
     return _guard(nll)
 
 
-def nll_gp4ml(params: GPParams, x, y, h) -> jax.Array:
+def nll_gp4ml(params: GPParams, x, y, h, noise_diag=None) -> jax.Array:
     """Full marginal NLL with explicit sigma^2 (beta profiled via GLS).
 
     Reference: `Optimize.loglikelihood_gp4ml` (SURVEY.md S3/S4.2).
     """
     n = h.shape[0]
-    (_, _, _, _, _, _, _, resid, logdet_a, _) = _common(params, x, y, h)
+    (_, _, _, _, _, _, _, resid, logdet_a, _) = _common(params, x, y, h, noise_diag)
     s2 = params.sigma2
     nll = 0.5 * (resid / s2 + n * jnp.log(s2) + logdet_a + n * _LOG2PI)
     return _guard(nll)
 
 
-def nll(params: GPParams, x, y, h, *, mode: str = "mucm") -> jax.Array:
+def nll(params: GPParams, x, y, h, *, mode: str = "mucm",
+        noise_diag=None) -> jax.Array:
     if mode == "mucm":
-        return nll_mucm(params, x, y, h)
+        return nll_mucm(params, x, y, h, noise_diag)
     if mode == "gp4ml":
-        return nll_gp4ml(params, x, y, h)
+        return nll_gp4ml(params, x, y, h, noise_diag)
     raise ValueError(f"unknown likelihood mode {mode!r}")
 
 
-def fit(params: GPParams, x, y, h, *, mode: str = "mucm") -> FitState:
+def fit(params: GPParams, x, y, h, *, mode: str = "mucm",
+        noise_diag=None) -> FitState:
     """Build the posterior sufficient statistics at fixed hyperparameters."""
     n, q = h.shape[0], h.shape[1]
     (_, l, jitter, linv_y, linv_h, lg, beta, resid, logdet_a, logdet_g) = _common(
-        params, x, y, h
+        params, x, y, h, noise_diag
     )
     if mode == "mucm":
         sigma2 = resid / (n - q - 2)

@@ -83,7 +83,7 @@ def _unpack(z, cfg: MLEConfig, d: int, dtype) -> GPParams:
     return GPParams(log_delta, log_sigma2, log_nugget)
 
 
-def _make_objective(x, y, h, cfg: MLEConfig, lo, hi):
+def _make_objective(x, y, h, cfg: MLEConfig, lo, hi, noise_diag=None):
     d = x.shape[1]
     dtype = x.dtype
     use_bounds = cfg.constraints != "none"
@@ -103,7 +103,7 @@ def _make_objective(x, y, h, cfg: MLEConfig, lo, hi):
 
     def objective(u):
         params = _unpack(to_logspace(u), cfg, d, dtype)
-        return gp.nll(params, x, y, h, mode=cfg.mode)
+        return gp.nll(params, x, y, h, mode=cfg.mode, noise_diag=noise_diag)
 
     return objective, to_logspace, from_logspace
 
@@ -153,7 +153,7 @@ def run_lbfgs(objective, z0, max_iters: int, tol: float):
     return best_z, best_v, iters
 
 
-def mle_fit(key, x, y, h, cfg: MLEConfig = MLEConfig()):
+def mle_fit(key, x, y, h, cfg: MLEConfig = MLEConfig(), *, noise_diag=None):
     """Multi-restart MLE. Returns (best GPParams, info dict).
 
     info contains per-restart final NLLs (`nlls`), iteration counts, and the
@@ -164,7 +164,9 @@ def mle_fit(key, x, y, h, cfg: MLEConfig = MLEConfig()):
     h = jnp.asarray(h)
     d = x.shape[1]
     lo, hi = _default_bounds(cfg, d)
-    objective, to_logspace, from_logspace = _make_objective(x, y, h, cfg, lo, hi)
+    objective, to_logspace, from_logspace = _make_objective(
+        x, y, h, cfg, lo, hi, noise_diag
+    )
 
     z0s = _lhc_starts(key, cfg.tries, jnp.asarray(lo, x.dtype), jnp.asarray(hi, x.dtype), x.dtype)
     u0s = jax.vmap(from_logspace)(z0s)

@@ -1,0 +1,175 @@
+"""Heteroscedastic noise fitting (Goldberg-style alternating scheme).
+
+Reference parity: `gp_emu_uqsa/noise_fit/noisefit(data_conf, noise_conf,
+stopat, olhcmult)` (SURVEY.md S3 "Noise fit", S4.5 call stack): alternately
+(1) fit a GP to the data under the current pointwise noise estimates,
+(2) estimate pointwise residual variance, (3) fit a second GP to the
+log-noise surface, iterate until `stopat` or convergence, writing
+intermediate files each round.
+
+Implementation notes:
+  * residual variances are estimated from leave-one-out residuals of the
+    data GP (closed-form LOO from one factorization, gp.loo_diagnostics) —
+    the reference's repeated-posterior-draw estimator with the MC noise
+    removed;
+  * the noise GP is fit to log residual variances (log keeps positivity and
+    tames the chi^2_1 skew); its posterior mean (plus half its variance,
+    the lognormal correction) gives the smoothed noise surface;
+  * the data GP is refit in gp4ml mode with `noise_diag` = smoothed noise /
+    sigma2 (correlation units), per-point.
+Both GPs train via the vmapped multi-restart L-BFGS engine, so one noisefit
+iteration is two batched jit programs.
+"""
+from __future__ import annotations
+
+import dataclasses
+from pathlib import Path
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gp_emu_uqsa_tpu import gp
+from gp_emu_uqsa_tpu.basis import basis_matrix, linear_basis
+from gp_emu_uqsa_tpu.configs import Beliefs, Config
+from gp_emu_uqsa_tpu.dataio import load_matrix, minmax_scale, save_matrix
+from gp_emu_uqsa_tpu.inference import MLEConfig, mle_fit
+
+
+@dataclasses.dataclass
+class NoiseFitResult:
+    data_params: object          # GPParams of the data GP
+    data_state: gp.FitState
+    noise_params: object         # GPParams of the noise GP
+    noise_state: gp.FitState
+    noise_at_train: np.ndarray   # pointwise noise VARIANCE estimates (y units)
+    history: list                # per-iteration mean log-noise change
+    x: np.ndarray
+    y: np.ndarray
+    y_log_noise: np.ndarray
+
+
+def noisefit_arrays(
+    x,
+    y,
+    *,
+    stopat: int = 10,
+    tol: float = 1e-3,
+    tries: int = 4,
+    seed: int = 0,
+    message: bool = False,
+) -> NoiseFitResult:
+    """Alternating heteroscedastic fit on arrays (scaled-input space)."""
+    x = np.asarray(x, dtype=np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    y = np.asarray(y, dtype=np.float64).ravel()
+    n, d = x.shape
+    spec = linear_basis(d)
+    xj = jnp.asarray(x)
+    h = basis_matrix(xj, spec)
+    key = jax.random.key(seed)
+
+    # initial homoscedastic noise estimate: residual var of a first GP fit
+    data_cfg = MLEConfig(mode="gp4ml", tries=tries, train_nugget=True,
+                         nugget_bounds=(1e-8, 10.0))
+    noise_cfg = MLEConfig(mode="gp4ml", tries=tries, train_nugget=True,
+                          nugget_bounds=(1e-6, 10.0))
+    log_r = None  # log noise variance per point
+    history = []
+    data_params = data_state = noise_params = noise_state = None
+    yj = jnp.asarray(y)
+
+    for it in range(stopat):
+        key, k1, k2 = jax.random.split(key, 3)
+        if log_r is None:
+            noise_diag = None
+        else:
+            # per-point noise in correlation units: var_i / sigma2
+            sigma2 = float(data_state.sigma2)
+            noise_diag = jnp.asarray(np.exp(log_r) / sigma2)
+        data_params, _ = mle_fit(k1, xj, yj, h, data_cfg, noise_diag=noise_diag)
+        data_state = gp.fit(data_params, xj, yj, h, mode="gp4ml",
+                            noise_diag=noise_diag)
+        # LOO residual variance estimates
+        loo_mean, loo_var = gp.loo_diagnostics(data_state, xj, h, yj)
+        sq_resid = np.maximum(np.asarray((yj - loo_mean) ** 2), 1e-12)
+        z = jnp.asarray(np.log(sq_resid))
+        # noise GP on log residual variance
+        noise_params, _ = mle_fit(k2, xj, z, h, noise_cfg)
+        noise_state = gp.fit(noise_params, xj, z, h, mode="gp4ml")
+        z_mean, z_var = gp.predict(noise_state, xj, h, xj, h)
+        new_log_r = np.asarray(z_mean + 0.5 * z_var)   # lognormal mean corr.
+        if log_r is not None:
+            delta = float(np.mean(np.abs(new_log_r - log_r)))
+            history.append(delta)
+            if message:
+                print(f"[noisefit iter {it}] mean |d log noise| = {delta:.4g}")
+            if delta < tol:
+                log_r = new_log_r
+                break
+        log_r = new_log_r
+
+    return NoiseFitResult(
+        data_params, data_state, noise_params, noise_state,
+        np.exp(log_r), history, x, y, log_r,
+    )
+
+
+def predict_noise(result: NoiseFitResult, x_new) -> np.ndarray:
+    """Predicted pointwise noise VARIANCE at new (scaled) inputs."""
+    x_new = np.asarray(x_new, dtype=np.float64)
+    if x_new.ndim == 1:
+        x_new = x_new[:, None]
+    d = result.x.shape[1]
+    spec = linear_basis(d)
+    xj = jnp.asarray(result.x)
+    h = basis_matrix(xj, spec)
+    xs = jnp.asarray(x_new)
+    hs = basis_matrix(xs, spec)
+    z_mean, z_var = gp.predict(result.noise_state, xj, h, xs, hs)
+    return np.exp(np.asarray(z_mean + 0.5 * z_var))
+
+
+def noisefit(
+    data_conf,
+    noise_conf,
+    stopat: int = 20,
+    olhcmult: int = 100,
+    *,
+    message: bool = False,
+) -> NoiseFitResult:
+    """Reference file-driven entry point.
+
+    Reads the data config (inputs/outputs), runs the alternating fit, and
+    writes per-iteration-style outputs next to the originals: the final
+    smoothed noise estimates (`<outputs>-noise`) and the updated beliefs
+    files for both GPs (`<beliefs>-f` of each config).
+    """
+    dc = Config.from_file(data_conf)
+    nc = Config.from_file(noise_conf)
+    db = Beliefs.from_file(dc.beliefs)
+    x_raw = load_matrix(dc.inputs)
+    y_raw = load_matrix(dc.outputs)
+    y = y_raw[:, db.output] if y_raw.ndim == 2 and y_raw.shape[1] > 1 else y_raw.ravel()
+    x_scaled, minmax = minmax_scale(x_raw if db.active is None else x_raw[:, db.active])
+
+    result = noisefit_arrays(
+        x_scaled, y, stopat=stopat, tries=max(dc.tries, 2), message=message
+    )
+
+    out_path = Path(dc.outputs)
+    save_matrix(out_path.with_name(out_path.name + "-noise"), result.noise_at_train)
+    for conf, params, state in (
+        (dc, result.data_params, result.data_state),
+        (nc, result.noise_params, result.noise_state),
+    ):
+        bel = Beliefs.from_file(conf.beliefs)
+        bel.delta = [float(v) for v in np.exp(np.asarray(params.log_delta))]
+        bel.sigma = float(np.sqrt(float(state.sigma2)))
+        bel.nugget = float(np.exp(params.log_nugget))
+        bel.input_minmax = minmax
+        bp = Path(conf.beliefs)
+        bel.to_file(bp.with_name(bp.name + "-f"))
+    return result

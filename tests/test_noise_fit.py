@@ -1,0 +1,59 @@
+"""Heteroscedastic noise fitting recovers a known noise profile."""
+import numpy as np
+import pytest
+
+from gp_emu_uqsa_tpu.noise_fit import noisefit, noisefit_arrays, predict_noise
+
+
+def _hetero_data(n=150, seed=0):
+    """1D function with noise sd ramping from 0.02 to 0.4 across [0,1]."""
+    rng = np.random.default_rng(seed)
+    x = np.sort(rng.uniform(size=(n, 1)), axis=0)
+    sd = 0.02 + 0.38 * x[:, 0]
+    y = np.sin(2 * np.pi * x[:, 0]) + sd * rng.standard_normal(n)
+    return x, y, sd
+
+
+def test_recovers_noise_ramp():
+    x, y, sd_true = _hetero_data()
+    res = noisefit_arrays(x, y, stopat=6, tries=3, message=False)
+    # predicted noise sd should increase from left to right
+    grid = np.linspace(0.05, 0.95, 10)[:, None]
+    sd_pred = np.sqrt(predict_noise(res, grid))
+    assert sd_pred[-1] > 2.5 * sd_pred[0], sd_pred
+    # and be the right order of magnitude at both ends
+    assert 0.005 < sd_pred[0] < 0.15
+    assert 0.15 < sd_pred[-1] < 1.0
+    # the data GP should still track the underlying signal
+    import jax.numpy as jnp
+    from gp_emu_uqsa_tpu import gp
+    from gp_emu_uqsa_tpu.basis import basis_matrix, linear_basis
+    h = basis_matrix(jnp.asarray(x), linear_basis(1))
+    gs = np.linspace(0, 1, 50)[:, None]
+    hs = basis_matrix(jnp.asarray(gs), linear_basis(1))
+    mean, _ = gp.predict(res.data_state, jnp.asarray(x), h, jnp.asarray(gs), hs)
+    rmse = float(np.sqrt(np.mean((np.asarray(mean) - np.sin(2 * np.pi * gs[:, 0])) ** 2)))
+    assert rmse < 0.15
+
+
+def test_file_driven_noisefit(tmp_path):
+    x, y, _ = _hetero_data(n=80, seed=3)
+    np.savetxt(tmp_path / "in", x)
+    np.savetxt(tmp_path / "out", y)
+    for name in ("data", "noise"):
+        (tmp_path / f"{name}_beliefs").write_text(
+            "active all\noutput 0\nbasis_str 1.0 x\nbasis_inf NA 0\n"
+            "mucm F\nkernel gaussian()\ndelta 1.0\nsigma 1.0\n"
+            "nugget 0.001\nfix_nugget F\n"
+        )
+        (tmp_path / f"{name}_config").write_text(
+            f"beliefs {name}_beliefs\ninputs in\noutputs out\n"
+            "tv_config 4 0 1\ntries 2\n"
+        )
+    res = noisefit(tmp_path / "data_config", tmp_path / "noise_config",
+                   stopat=3)
+    assert (tmp_path / "out-noise").exists()
+    assert (tmp_path / "data_beliefs-f").exists()
+    assert (tmp_path / "noise_beliefs-f").exists()
+    noise = np.loadtxt(tmp_path / "out-noise")
+    assert noise.shape == (80,) and np.all(noise > 0)

@@ -1,0 +1,52 @@
+"""Checkpoint round-trips and structured logging."""
+import json
+
+import numpy as np
+import jax
+
+import gp_emu_uqsa_tpu as g
+from gp_emu_uqsa_tpu.utils import (
+    load_emulator, load_hmc_state, log_event, save_emulator, save_hmc_state,
+    set_log_path, timed,
+)
+
+
+def test_emulator_checkpoint_roundtrip(tmp_path):
+    rng = np.random.default_rng(0)
+    x = rng.uniform(size=(40, 2))
+    y = np.sin(3 * x[:, 0]) + x[:, 1]
+    emul = g.Emulator.from_arrays(x, y, tries=3, seed=1)
+    emul.train_full()
+    mean1, var1 = emul.predict(np.array([[0.3, 0.7], [0.6, 0.1]]))
+
+    save_emulator(tmp_path / "ck", emul)
+    emul2 = load_emulator(tmp_path / "ck")
+    mean2, var2 = emul2.predict(np.array([[0.3, 0.7], [0.6, 0.1]]))
+    np.testing.assert_allclose(np.asarray(mean1), np.asarray(mean2), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(var1), np.asarray(var2), rtol=1e-8)
+
+
+def test_hmc_state_roundtrip(tmp_path):
+    z = np.random.default_rng(1).standard_normal((4, 3))
+    key = jax.random.key(42)
+    save_hmc_state(tmp_path / "hmc", z, 0.05, np.ones(3), key,
+                   meta={"n_done": 100})
+    z2, eps, im, key2, meta = load_hmc_state(tmp_path / "hmc")
+    np.testing.assert_allclose(np.asarray(z2), z)
+    assert float(eps) == 0.05 and meta["n_done"] == 100
+    # restored key produces identical randomness
+    a = jax.random.normal(key, (3,))
+    b = jax.random.normal(key2, (3,))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_structured_logging(tmp_path):
+    log = tmp_path / "events.jsonl"
+    set_log_path(log)
+    log_event("fit", nll=1.23, n=100)
+    with timed("predict", n_points=10):
+        pass
+    set_log_path(None)
+    lines = [json.loads(line) for line in log.read_text().splitlines()]
+    assert lines[0]["event"] == "fit" and lines[0]["nll"] == 1.23
+    assert lines[1]["event"] == "predict" and "seconds" in lines[1]
