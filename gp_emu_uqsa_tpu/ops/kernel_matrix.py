@@ -1,0 +1,93 @@
+"""Pallas TPU kernel: fused Gaussian correlation-matrix build.
+
+The hot O(n^2 d) op of every NLL evaluation (SURVEY.md S4.2 hot loop) is
+A = exp(-D2(Xs)) + nu*I with Xs the delta-scaled inputs. The XLA path
+(kernels.gaussian_corr_self) materializes D2 to HBM, then reads it back for
+the exp — two full n^2 HBM round-trips. This kernel fuses norms, the MXU
+cross-product, exp, and the nugget into one pass: each (TM, TN) tile of A
+is computed in VMEM and written exactly once.
+
+Layout: inputs are padded to a 128-lane feature dim (d <= 128 always holds
+for GP emulation problems; zero-padding contributes nothing to distances).
+Tiles are 256x256 fp32 (multiples of the (8,128) fp32 tile).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE = 256
+_LANE = 128
+
+
+def _kernel(xs_i_ref, xs_j_ref, nug_ref, out_ref):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    xi = xs_i_ref[:]                                   # (TILE, d_pad)
+    xj = xs_j_ref[:]                                   # (TILE, d_pad)
+    ni = jnp.sum(xi * xi, axis=1, keepdims=True)       # (TILE, 1)
+    nj = jnp.sum(xj * xj, axis=1, keepdims=True).T     # (1, TILE)
+    # HIGHEST precision: distances feed exp(); default fp32 matmul on TPU
+    # rounds operands through bf16 (~1e-2 absolute error on A, observed)
+    cross = jax.lax.dot_general(
+        xi, xj,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    d2 = jnp.maximum(ni + nj - 2.0 * cross, 0.0)
+    a = jnp.exp(-d2)
+
+    @pl.when(i == j)
+    def _():
+        m = xi.shape[0]
+        row = jax.lax.broadcasted_iota(jnp.int32, (m, m), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (m, m), 1)
+        out_ref[:] = a + jnp.where(row == col, nug_ref[0, 0], 0.0)
+
+    @pl.when(i != j)
+    def _():
+        out_ref[:] = a
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def gaussian_corr_self_pallas(x, delta, nugget, *, interpret: bool = False):
+    """A = exp(-sum_l ((x_i-x_j)/delta)^2) + nugget*I via one fused pass.
+
+    x: (n, d) fp32; delta: (d,); nugget: scalar. n is padded to the tile
+    size internally; d is padded to the 128-lane width.
+    """
+    x = jnp.asarray(x, jnp.float32)
+    n, d = x.shape
+    xs = x / jnp.asarray(delta, jnp.float32)
+    n_pad = ((n + TILE - 1) // TILE) * TILE
+    d_pad = ((d + _LANE - 1) // _LANE) * _LANE
+    xs = jnp.pad(xs, ((0, n_pad - n), (0, d_pad - d)))
+    nug = jnp.asarray(nugget, jnp.float32).reshape(1, 1)
+
+    grid = (n_pad // TILE, n_pad // TILE)
+    out = pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TILE, d_pad), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, d_pad), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec((TILE, TILE), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n_pad, n_pad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_pad * n_pad * d_pad + 4 * n_pad * n_pad,
+            bytes_accessed=n_pad * n_pad * 4 + 2 * n_pad * d_pad * 4,
+            transcendentals=n_pad * n_pad,
+        ),
+        interpret=interpret,
+    )(xs, xs, nug)
+    return out[:n, :n]
