@@ -19,7 +19,7 @@ import time
 import numpy as np
 
 N_TRAIN = 4096
-N_PRED = 32768
+N_PRED = 16384
 DIM = 8
 N_PRED_NUMPY = 256
 

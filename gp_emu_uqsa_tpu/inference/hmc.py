@@ -100,18 +100,9 @@ def hmc_sample(
     Returns (samples (chains, n_kept, dim), stats dict).
     """
     z0 = jnp.asarray(z0)
-    n_chains, dim = z0.shape
     dtype = z0.dtype
 
-    def ld_one(z):
-        return logdensity(z)
-
-    vgrad = jax.vmap(jax.value_and_grad(ld_one))
-
-    w = cfg.n_warmup
-    s2_end = 3 * w // 4
-    s2_start = w // 4
-    mu0 = jnp.log(10.0 * cfg.init_step_size)
+    vgrad = jax.vmap(jax.value_and_grad(logdensity))
 
     def hmc_step(z, key, eps, inv_mass):
         kp, ka = jax.random.split(key)
@@ -131,6 +122,32 @@ def hmc_sample(
         take = jnp.logical_and(u < accept_prob, jnp.logical_not(diverged))
         z = jnp.where(take[:, None], z_new, z)
         return z, accept_prob, diverged
+
+    return adaptive_mcmc(key, hmc_step, z0, cfg, axis_name=axis_name)
+
+
+def adaptive_mcmc(
+    key,
+    step_fn,
+    z0,
+    cfg: HMCConfig,
+    *,
+    axis_name: Optional[str] = None,
+):
+    """Shared warmup+sampling driver for any batched MCMC transition kernel.
+
+    step_fn(z (chains,dim), key, eps, inv_mass) -> (z_new, accept_stat
+    (chains,), diverged (chains,)); used by both HMC and NUTS.
+    """
+    z0 = jnp.asarray(z0)
+    n_chains, dim = z0.shape
+    dtype = z0.dtype
+
+    w = cfg.n_warmup
+    s2_end = 3 * w // 4
+    s2_start = w // 4
+    mu0 = jnp.log(10.0 * cfg.init_step_size)
+    hmc_step = step_fn
 
     def warmup_body(carry, inp):
         (z, log_eps, log_eps_bar, hbar, mu, welf_n, welf_mean, welf_m2,

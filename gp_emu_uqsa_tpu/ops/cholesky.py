@@ -75,6 +75,68 @@ def cholesky_with_jitter(
     return l, jit_used
 
 
+def blocked_cholesky(a: jax.Array, leaf: int = 512) -> jax.Array:
+    """Recursive blocked lower-Cholesky tuned for the MXU.
+
+    chol([[A11,  .],[A21, A22]]):
+        L11 = chol(A11)
+        L21 = A21 L11^-T          (TRSM)
+        L22 = chol(A22 - L21 L21^T)   (SYRK -> GEMM on the MXU)
+
+    The recursion unrolls at trace time (static shapes, log2(n/leaf)
+    levels); the dominant trailing-update SYRK runs as a full-speed fp32
+    GEMM, which is where XLA's built-in Cholesky loses time at large n.
+    Leaves fall back to lax.linalg.cholesky. n must be a power-of-two
+    multiple of leaf or is handled by the wrapper below.
+    """
+    n = a.shape[-1]
+    if n <= leaf:
+        return lax.linalg.cholesky(a, symmetrize_input=False)
+    half = n // 2
+    a11 = a[..., :half, :half]
+    a21 = a[..., half:, :half]
+    a22 = a[..., half:, half:]
+    l11 = blocked_cholesky(a11, leaf)
+    # L21 = A21 L11^-T  <=>  solve X L11^T = A21
+    l21 = lax.linalg.triangular_solve(
+        l11, a21, left_side=False, lower=True, transpose_a=True
+    )
+    update = lax.dot_general(
+        l21, l21,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=a.dtype,
+    )
+    l22 = blocked_cholesky(a22 - update, leaf)
+    zeros = jnp.zeros_like(a[..., :half, half:])
+    return jnp.concatenate(
+        [
+            jnp.concatenate([l11, zeros], axis=-1),
+            jnp.concatenate([l21, l22], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def cholesky_blocked_padded(a: jax.Array, leaf: int = 512) -> jax.Array:
+    """blocked_cholesky for arbitrary n: pads to the next power-of-two
+    multiple of `leaf` with an identity tail (factor of the padded matrix
+    restricts exactly to the factor of `a`)."""
+    n = a.shape[-1]
+    if n <= leaf:
+        return lax.linalg.cholesky(a, symmetrize_input=False)
+    target = leaf
+    while target < n:
+        target *= 2
+    if target == n:
+        return blocked_cholesky(a, leaf)
+    pad = target - n
+    eye_tail = jnp.eye(pad, dtype=a.dtype)
+    big = jnp.zeros(a.shape[:-2] + (target, target), a.dtype)
+    big = big.at[..., :n, :n].set(a)
+    big = big.at[..., n:, n:].set(eye_tail)
+    return blocked_cholesky(big, leaf)[..., :n, :n]
+
+
 def tri_solve(l: jax.Array, b: jax.Array, *, trans: bool = False) -> jax.Array:
     """Solve L x = b (or L^T x = b when trans) with L lower-triangular."""
     return lax.linalg.triangular_solve(

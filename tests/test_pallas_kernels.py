@@ -21,3 +21,18 @@ def test_fused_kernel_matrix_matches_xla():
     a = np.asarray(got)
     np.testing.assert_allclose(a, a.T, atol=2e-6)
     np.testing.assert_allclose(np.diag(a), 1.0 + nugget, rtol=1e-5)
+
+
+def test_blocked_cholesky_matches_lapack():
+    import jax.numpy as jnp
+    from gp_emu_uqsa_tpu.ops.cholesky import cholesky_blocked_padded
+
+    rng = np.random.default_rng(1)
+    for n in (100, 512, 700, 1024):
+        m = rng.standard_normal((n, n))
+        a = m @ m.T + n * np.eye(n)
+        l_ref = np.linalg.cholesky(a)
+        l_got = np.asarray(cholesky_blocked_padded(jnp.asarray(a), leaf=256))
+        np.testing.assert_allclose(l_got, l_ref, rtol=1e-8, atol=1e-8)
+        # exactly lower triangular
+        assert np.allclose(np.triu(l_got, 1), 0.0)
