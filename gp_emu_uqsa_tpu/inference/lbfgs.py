@@ -153,11 +153,16 @@ def run_lbfgs(objective, z0, max_iters: int, tol: float):
     return best_z, best_v, iters
 
 
-def mle_fit(key, x, y, h, cfg: MLEConfig = MLEConfig(), *, noise_diag=None):
+def mle_fit(key, x, y, h, cfg: MLEConfig = MLEConfig(), *, noise_diag=None,
+            mesh=None, axis: str = "chains"):
     """Multi-restart MLE. Returns (best GPParams, info dict).
 
     info contains per-restart final NLLs (`nlls`), iteration counts, and the
     LHC start matrix, mirroring the reference's per-try printout as data.
+
+    With `mesh`, the restart axis is sharded over mesh axis `axis` (restarts
+    are embarrassingly parallel; XLA partitions the batched program with no
+    collectives). cfg.tries should then be a multiple of the axis size.
     """
     x = jnp.asarray(x)
     y = jnp.asarray(y)
@@ -170,6 +175,10 @@ def mle_fit(key, x, y, h, cfg: MLEConfig = MLEConfig(), *, noise_diag=None):
 
     z0s = _lhc_starts(key, cfg.tries, jnp.asarray(lo, x.dtype), jnp.asarray(hi, x.dtype), x.dtype)
     u0s = jax.vmap(from_logspace)(z0s)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        u0s = jax.device_put(u0s, NamedSharding(mesh, P(axis)))
 
     @jax.jit
     def run_all(u0s):

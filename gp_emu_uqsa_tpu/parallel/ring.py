@@ -1,0 +1,148 @@
+"""Ring-streamed batched prediction with a SHARDED training set.
+
+SURVEY.md S6 "long context" row: for n too large to replicate (16k+), both
+the query points AND the training set shard over one mesh axis. Each chip
+keeps its queries stationary and the training-side blocks rotate around the
+ring (`jax.lax.ppermute` over ICI) — the ring-attention-shaped pattern with
+queries as Q and training shards as the rotating K/V:
+
+  pass 1: rotate (X_shard, e_shard):   chip accumulates its queries' full
+          cross-correlation rows t (m/p, n) block-by-block and the full e,
+          giving the posterior MEAN with no replication of X or e.
+  pass 2: rotate A^-1 column-blocks:   per visit, one (m/p, n/p) GEMM
+          u = t @ Ainv_block meets the matching t columns for the variance
+          quadratic form; only scalars per query accumulate.
+
+Comm volume: n d + n (pass 1) + n^2/p per hop (pass 2) — the n^2 term rides
+ICI and overlaps the O(m n^2 / p^2) per-hop GEMMs. The R-term pieces
+(A^-1 H, W-chol, beta: O(nq + q^2)) are replicated — q is tiny.
+
+The Predictor (gp.predictor) supplies e / A^-1 / A^-1 H / W-chol; this
+module only re-lays them out over the mesh.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gp_emu_uqsa_tpu import gp
+from gp_emu_uqsa_tpu.kernels import gaussian_corr
+from gp_emu_uqsa_tpu.parallel.predict import pad_to_multiple
+
+
+def ring_predict(
+    pred: gp.Predictor,
+    x,
+    xstar,
+    hstar,
+    mesh: Mesh,
+    *,
+    axis: str = "data",
+    include_nugget: bool = False,
+):
+    """Posterior mean/var at xstar with x, e, A^-1 sharded over `axis`.
+
+    Returns host-viewable (mean, var) of len(xstar).
+    """
+    p = mesh.shape[axis]
+    x = jnp.asarray(x)
+    n, d = x.shape
+    x_p, n_orig = pad_to_multiple(x, p)
+    n_pad = x_p.shape[0]
+    blk = n_pad // p
+    # pad the training-side vectors consistently; padded rows contribute 0
+    # because e and Ainv rows/cols are zero there
+    e_p, _ = pad_to_multiple(pred.e, p)
+    ainv_p = jnp.zeros((n_pad, n_pad), pred.ainv.dtype).at[:n, :n].set(pred.ainv)
+    ainv_h_p, _ = pad_to_multiple(pred.ainv_h, p)
+    # keep padded x rows FAR from queries so corr ~ exp(-large) doesn't matter
+    # (they're multiplied by zero e/Ainv anyway)
+    xs_p, m_orig = pad_to_multiple(jnp.asarray(xstar), p)
+    hs_p, _ = pad_to_multiple(jnp.asarray(hstar), p)
+
+    params = pred.params
+    beta = pred.beta
+    w_chol = pred.w_chol
+    sigma2 = pred.sigma2
+    prior = 1.0 + (params.nugget if include_nugget else 0.0)
+
+    def local(xq, hq, x_sh, e_sh, ainv_cols, ainv_h_sh):
+        """Per-shard body under shard_map; shapes: xq (m/p, d), x_sh (n/p, d),
+        ainv_cols (n/p, n_pad) = my COLUMN block of A^-1 (transposed layout),
+        ainv_h_sh (n/p, q)."""
+        me = jax.lax.axis_index(axis).astype(jnp.int32)
+        m_loc = xq.shape[0]
+
+        # ---- pass 1: build t rows + full e by rotating (x_sh, e_sh) ------
+        def rot(v):
+            return jax.lax.ppermute(
+                v, axis, [(i, (i + 1) % p) for i in range(p)]
+            )
+
+        t0 = jnp.zeros((m_loc, n_pad), xq.dtype)
+        e0 = jnp.zeros((n_pad,), xq.dtype)
+        ainvh0 = jnp.zeros((n_pad, ainv_h_sh.shape[1]), xq.dtype)
+
+        def body1(i, carry):
+            t, e_full, ainvh_full, x_vis, e_vis, ainvh_vis = carry
+            src = (me - i.astype(jnp.int32)) % p  # owner of the visiting block
+            zero = jnp.asarray(0, jnp.int32)
+            off = src * jnp.asarray(blk, jnp.int32)
+            block = gaussian_corr(xq, x_vis, params)          # (m/p, n/p)
+            t = jax.lax.dynamic_update_slice(t, block, (zero, off))
+            e_full = jax.lax.dynamic_update_slice(e_full, e_vis, (off,))
+            ainvh_full = jax.lax.dynamic_update_slice(
+                ainvh_full, ainvh_vis, (off, zero)
+            )
+            return (t, e_full, ainvh_full, rot(x_vis), rot(e_vis), rot(ainvh_vis))
+
+        t, e_full, ainvh_full, _, _, _ = jax.lax.fori_loop(
+            0, p, body1, (t0, e0, ainvh0, x_sh, e_sh, ainv_h_sh)
+        )
+
+        mean = hq @ beta + t @ e_full
+        r = hq - t @ ainvh_full                               # (m/p, q)
+        rw = r @ w_chol
+        quad_r = jnp.sum(rw * rw, axis=1)
+
+        # ---- pass 2: rotate A^-1 column blocks for the t quadratic form --
+        def body2(i, carry):
+            quad, cols_vis = carry
+            src = (me - i.astype(jnp.int32)) % p
+            t_cols = jax.lax.dynamic_slice(
+                t, (jnp.asarray(0, jnp.int32), src * jnp.asarray(blk, jnp.int32)),
+                (m_loc, blk)
+            )                                                  # (m/p, n/p)
+            u = t @ cols_vis.T                                 # (m/p, n/p)
+            quad = quad + jnp.sum(u * t_cols, axis=1)
+            return (quad, rot(cols_vis))
+
+        quad_t, _ = jax.lax.fori_loop(
+            0, p, body2, (jnp.zeros((m_loc,), xq.dtype), ainv_cols)
+        )
+        var = sigma2 * jnp.maximum(prior - quad_t + quad_r, 0.0)
+        return mean, var
+
+    shard = NamedSharding(mesh, P(axis))
+    shard2 = NamedSharding(mesh, P(axis, None))
+    fn = jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
+            out_specs=(P(axis), P(axis)),
+            check_vma=False,
+        )
+    )
+    mean, var = fn(
+        jax.device_put(xs_p, shard),
+        jax.device_put(hs_p, shard),
+        jax.device_put(x_p, shard),
+        jax.device_put(e_p, shard),
+        jax.device_put(ainv_p, shard2),   # row-sharded == my column block^T
+        jax.device_put(ainv_h_p, shard),
+    )
+    return mean[:m_orig], var[:m_orig]

@@ -50,3 +50,36 @@ def test_graft_entry_roundtrip():
     jax.block_until_ready(out)
     assert np.all(np.isfinite(np.asarray(out[0])))
     ge.dryrun_multichip(8)
+
+
+def test_ring_predict_matches_local():
+    """Sharded-training ring prediction == local exact path (mean and var)."""
+    from gp_emu_uqsa_tpu.parallel.ring import ring_predict
+
+    state, x, h, xs, hs = _fit_problem(n=40, m=37)  # neither divisible by 8
+    pred = gp.predictor(state)
+    mesh = make_mesh({"data": 8})
+    mean_r, var_r = ring_predict(pred, x, xs, hs, mesh)
+    mean_l, var_l = gp.predict_fast(pred, x, xs, hs)
+    np.testing.assert_allclose(np.asarray(mean_r), np.asarray(mean_l), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(var_r), np.asarray(var_l),
+                               rtol=1e-8, atol=1e-12)
+
+
+def test_sharded_mle_restarts():
+    """mle_fit with mesh-sharded restarts matches unsharded best NLL."""
+    import oracle
+    from gp_emu_uqsa_tpu.inference import MLEConfig, mle_fit
+    from gp_emu_uqsa_tpu.basis import basis_matrix, linear_basis
+
+    rng = np.random.default_rng(0)
+    x = rng.uniform(size=(60, 2))
+    a = oracle.corr_self(x, np.array([0.4, 0.8]), 1e-8)
+    y = np.linalg.cholesky(a) @ rng.standard_normal(60)
+    h = basis_matrix(jnp.asarray(x), linear_basis(2))
+    cfg = MLEConfig(tries=8)
+    mesh = make_mesh({"chains": 8})
+    p1, i1 = mle_fit(jax.random.key(0), x, y, h, cfg)
+    p2, i2 = mle_fit(jax.random.key(0), x, y, h, cfg, mesh=mesh)
+    np.testing.assert_allclose(float(i1["best_nll"]), float(i2["best_nll"]),
+                               rtol=1e-8)
