@@ -102,7 +102,8 @@ def _make_objective(x, y, h, cfg: MLEConfig, lo, hi, noise_diag=None):
         return z
 
     def objective(u):
-        params = _unpack(to_logspace(u), cfg, d, dtype)
+        # optax internals may promote the iterate under x64; pin the dtype
+        params = _unpack(to_logspace(u.astype(dtype)), cfg, d, dtype)
         return gp.nll(params, x, y, h, mode=cfg.mode, noise_diag=noise_diag)
 
     return objective, to_logspace, from_logspace
@@ -135,7 +136,7 @@ def run_lbfgs(objective, z0, max_iters: int, tol: float):
         updates, state = opt.update(
             grad, state, z, value=value, grad=grad, value_fn=objective
         )
-        z_new = optax.apply_updates(z, updates)
+        z_new = optax.apply_updates(z, updates).astype(z.dtype)
         best_z, best_v = best
         value_new = objective(z_new)
         improved = value_new < best_v

@@ -27,6 +27,56 @@ def setup(emul: Emulator, m, v) -> Sensitivity:
     return Sensitivity(emul.state, x, emul.spec, m, v, beta=beta)
 
 
+def marginalized(
+    emul: Emulator,
+    m,
+    v,
+    z_samples,
+    *,
+    max_draws: int = 16,
+) -> dict:
+    """UQSA marginalized over the hyperparameter posterior (SURVEY.md S7
+    north star: "SA marginalized over hyperparameter posterior").
+
+    z_samples: (chains, n, p) or (draws, p) HMC/NUTS draws in the MLE
+    flat-parameter layout (inference.lbfgs._unpack). For `max_draws` thinned
+    draws the emulator is refit and the analytic indices recomputed; returns
+    posterior mean and sd of every index plus the per-draw values.
+    """
+    import jax.numpy as jnp
+
+    from gp_emu_uqsa_tpu import gp as gpmod
+    from gp_emu_uqsa_tpu.inference.lbfgs import _unpack
+
+    x, y, h = emul.train_view()
+    d = x.shape[1]
+    flat = np.asarray(z_samples).reshape(-1, np.asarray(z_samples).shape[-1])
+    stride = max(1, len(flat) // max_draws)
+    draws = flat[::stride][:max_draws]
+    s_i, s_ti, e_ey, e_var = [], [], [], []
+    for z in draws:
+        params = _unpack(jnp.asarray(z, x.dtype), emul.mle_config, d, x.dtype)
+        state = gpmod.fit(params, x, y, h, mode=emul.mle_config.mode)
+        sens = Sensitivity(state, x, emul.spec, m, v, beta=emul.fixed_beta)
+        si = sens.sensitivity()
+        ti = sens.totaleffectvariance()
+        unc = sens.uncertainty()
+        s_i.append(np.asarray(si["S_i"]))
+        s_ti.append(np.asarray(ti["S_Ti"]))
+        e_ey.append(float(unc["E_EY"]))
+        e_var.append(float(unc["E_VarY"]))
+    s_i = np.stack(s_i)
+    s_ti = np.stack(s_ti)
+    return {
+        "S_i_mean": s_i.mean(0), "S_i_sd": s_i.std(0),
+        "S_Ti_mean": s_ti.mean(0), "S_Ti_sd": s_ti.std(0),
+        "E_EY_mean": float(np.mean(e_ey)), "E_EY_sd": float(np.std(e_ey)),
+        "E_VarY_mean": float(np.mean(e_var)), "E_VarY_sd": float(np.std(e_var)),
+        "per_draw_S_i": s_i,
+        "n_draws": len(draws),
+    }
+
+
 def sense_table(
     sens_list: Sequence[Sensitivity],
     input_names: Optional[Sequence[str]] = None,

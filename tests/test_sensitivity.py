@@ -202,3 +202,41 @@ class TestProperties:
         sens.to_file(tmp_path / "sens.txt")
         text = (tmp_path / "sens.txt").read_text()
         assert "E*[E(Y)]" in text and "S_Ti" in text
+
+
+class TestMarginalized:
+    def test_marginalized_indices(self):
+        """HMC-marginalized indices agree with point-estimate indices within
+        posterior spread on an easy problem."""
+        import jax
+        import gp_emu_uqsa_tpu as g
+        import gp_emu_uqsa_tpu.sensitivity as s
+        from gp_emu_uqsa_tpu.basis import basis_matrix
+        from gp_emu_uqsa_tpu.inference.hmc import (
+            HMCConfig, hmc_sample, make_gp_logdensity,
+        )
+
+        rng = np.random.default_rng(0)
+        x = rng.uniform(size=(50, 2))
+        y = np.sin(4 * x[:, 0]) + 2.0 * x[:, 1]
+        emul = g.Emulator.from_arrays(x, y, tries=3, scale_inputs=False,
+                                      shuffle=False)
+        emul.train_full()
+        _, _, h = emul.train_view()
+        xj, yj, _ = emul.train_view()
+        ld = make_gp_logdensity(xj, yj, h, emul.mle_config)
+        z0 = np.asarray(emul.params.log_delta) + 0.1 * np.random.default_rng(
+            1
+        ).standard_normal((4, 2))
+        samples, _ = hmc_sample(
+            jax.random.key(2), ld, jnp.asarray(z0),
+            HMCConfig(n_warmup=150, n_samples=150, n_leapfrog=8),
+        )
+        res = s.marginalized(emul, M, V, samples, max_draws=8)
+        point = s.setup(emul, M, V).sensitivity()
+        np.testing.assert_allclose(
+            res["S_i_mean"], np.asarray(point["S_i"]),
+            atol=5 * res["S_i_sd"].max() + 0.05,
+        )
+        assert res["n_draws"] == 8
+        assert np.all(res["S_i_sd"] >= 0)
