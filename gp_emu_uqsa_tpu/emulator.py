@@ -203,6 +203,85 @@ class Emulator:
         """Idiomatic one-call training on all data (== final_build)."""
         return final_build(self, message=message)
 
+    def train_bayes(
+        self,
+        *,
+        sampler: str = "nuts",
+        n_chains: int = 8,
+        n_warmup: int = 500,
+        n_samples: int = 500,
+        max_depth: int = 8,
+        key=None,
+        axis_name=None,
+    ):
+        """Full-Bayes hyperparameter inference on all data (north star).
+
+        Runs MLE first (for initialization), then HMC/NUTS around it.
+        Stores draws in self.hyper_samples; predict_bayes() marginalizes.
+        Returns the sampler stats dict.
+        """
+        import jax as _jax
+        import jax.numpy as _jnp
+
+        from gp_emu_uqsa_tpu.inference.hmc import (
+            HMCConfig, hmc_sample, make_gp_logdensity,
+        )
+        from gp_emu_uqsa_tpu.inference.lbfgs import _default_bounds
+
+        self.n_folded = self.splits.n_v_sets
+        if self.params is None:
+            self.optimize()
+        x, y, h = self.train_view()
+        logdensity = make_gp_logdensity(x, y, h, self.mle_config)
+        lo, hi = _default_bounds(self.mle_config, x.shape[1])
+        p = lo.shape[0]
+        if key is None:
+            key = _jax.random.key(self.seed + 1000)
+        k_init, k_run = _jax.random.split(key)
+        # start chains jittered around the MLE (delta part; extras at center)
+        center = np.zeros(p)
+        center[: x.shape[1]] = np.asarray(self.params.log_delta)
+        i = x.shape[1]
+        if self.mle_config.mode == "gp4ml":
+            center[i] = float(self.params.log_sigma2)
+            i += 1
+        if self.mle_config.train_nugget:
+            center[i] = float(self.params.log_nugget)
+        z0 = _jnp.asarray(center, x.dtype) + 0.1 * _jax.random.normal(
+            k_init, (n_chains, p), x.dtype
+        )
+        cfg = HMCConfig(n_warmup=n_warmup, n_samples=n_samples)
+        if sampler == "nuts":
+            from gp_emu_uqsa_tpu.inference.nuts import nuts_sample
+
+            samples, stats = nuts_sample(
+                k_run, logdensity, z0, cfg, max_depth=max_depth,
+                axis_name=axis_name,
+            )
+        else:
+            samples, stats = hmc_sample(
+                k_run, logdensity, z0, cfg, axis_name=axis_name
+            )
+        self.hyper_samples = samples
+        return stats
+
+    def predict_bayes(self, x_new, *, max_draws: int = 32):
+        """Posterior-predictive mean/var marginalized over train_bayes draws."""
+        from gp_emu_uqsa_tpu.inference.hmc import predict_marginalized
+
+        if getattr(self, "hyper_samples", None) is None:
+            raise RuntimeError("call train_bayes() first")
+        x, y, h = self.train_view()
+        xs, hs = self._prepare_inputs(x_new)
+        mean, var = predict_marginalized(
+            self.hyper_samples, x, y, h, xs, hs, self.mle_config,
+            max_draws=max_draws,
+        )
+        if self.fixed_beta is not None:
+            hraw = basis_matrix(xs, self.spec)
+            mean = mean + hraw @ jnp.asarray(self.fixed_beta, dtype=self.dtype)
+        return mean, var
+
     # ----- checkpoint export ----------------------------------------------
 
     def updated_beliefs(self) -> Beliefs:

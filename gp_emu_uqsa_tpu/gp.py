@@ -240,6 +240,34 @@ def predict_fast(pred: Predictor, x, xstar, hstar, *, include_nugget=False):
     return mean, var
 
 
+def predict_batched(pred: Predictor, x, xstar, hstar, *, batch: int = 65536,
+                    include_nugget: bool = False):
+    """predict_fast over query chunks: bounds peak memory at O(batch * n).
+
+    The m x n cross-correlation block never materializes for the full query
+    set (1M-point serving at n=16k would need 64 GB otherwise). Chunks run
+    under lax.map inside one jit, so the loop is compiled, not host-driven.
+    """
+    xstar = jnp.asarray(xstar)
+    hstar = jnp.asarray(hstar)
+    m = xstar.shape[0]
+    if m <= batch:
+        return predict_fast(pred, x, xstar, hstar, include_nugget=include_nugget)
+    n_chunks = -(-m // batch)
+    m_pad = n_chunks * batch
+    xs_p = jnp.pad(xstar, ((0, m_pad - m), (0, 0)))
+    hs_p = jnp.pad(hstar, ((0, m_pad - m), (0, 0)))
+    xs_c = xs_p.reshape(n_chunks, batch, -1)
+    hs_c = hs_p.reshape(n_chunks, batch, -1)
+
+    def one(args):
+        xs, hs = args
+        return predict_fast(pred, x, xs, hs, include_nugget=include_nugget)
+
+    means, variances = jax.lax.map(one, (xs_c, hs_c))
+    return means.reshape(m_pad)[:m], variances.reshape(m_pad)[:m]
+
+
 def validate(state: FitState, x, h, xv, hv, yv):
     """Held-out validation diagnostics (reference `Posterior` diagnostics).
 

@@ -77,6 +77,39 @@ def marginalized(
     }
 
 
+def plot_main_effects(
+    sens: Sensitivity,
+    dims=None,
+    points: int = 100,
+    save: Optional[str] = None,
+):
+    """Main-effect curves E[Y|x_i] with +-2 sd bands (reference
+    `main_effect(plot=True)`). Returns the Figure."""
+    import matplotlib
+
+    matplotlib.use("Agg", force=False)
+    import matplotlib.pyplot as plt
+
+    dims = list(dims) if dims is not None else list(range(sens.d))
+    fig, ax = plt.subplots(figsize=(7, 5))
+    for i in dims:
+        grid, mean, sd, dev = sens.main_effect(i, points=points)
+        g = np.asarray(grid)
+        m_arr = np.asarray(dev)
+        s_arr = np.asarray(sd)
+        (line,) = ax.plot(g, m_arr, label=f"x[{i}]")
+        ax.fill_between(g, m_arr - 2 * s_arr, m_arr + 2 * s_arr,
+                        alpha=0.15, color=line.get_color())
+    ax.set_xlabel("x_i")
+    ax.set_ylabel("E[Y | x_i] - E[Y]")
+    ax.set_title("Main effects (deviation form), ±2 sd")
+    ax.legend()
+    fig.tight_layout()
+    if save:
+        fig.savefig(save, dpi=120)
+    return fig
+
+
 def sense_table(
     sens_list: Sequence[Sensitivity],
     input_names: Optional[Sequence[str]] = None,

@@ -144,3 +144,40 @@ class TestEndToEnd:
         fig = g.plot(emul, [0], mean_or_var="mean", points=30,
                      save=str(tmp_path / "p.png"))
         assert (tmp_path / "p.png").exists()
+
+
+class TestBayesFacade:
+    def test_train_bayes_predict_bayes(self):
+        rng = np.random.default_rng(0)
+        x = rng.uniform(size=(40, 2))
+        y = np.sin(4 * x[:, 0]) + x[:, 1]
+        emul = g.Emulator.from_arrays(x, y, tries=3, seed=2)
+        stats = emul.train_bayes(sampler="hmc", n_chains=4, n_warmup=100,
+                                 n_samples=100)
+        assert float(stats["accept_rate"]) > 0.4
+        mean, var = emul.predict_bayes(np.array([[0.3, 0.6], [0.8, 0.2]]),
+                                       max_draws=8)
+        truth = np.sin(4 * np.array([0.3, 0.8])) + np.array([0.6, 0.2])
+        assert np.all(np.abs(np.asarray(mean) - truth) < 0.3)
+        assert np.all(np.asarray(var) >= 0)
+
+    def test_predict_batched_matches(self):
+        import jax.numpy as jnp
+        from gp_emu_uqsa_tpu import gp as gpmod
+        from gp_emu_uqsa_tpu.basis import basis_matrix, linear_basis
+        from gp_emu_uqsa_tpu.kernels import make_params
+
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.uniform(size=(30, 2)))
+        y = jnp.sin(3 * x[:, 0]) + x[:, 1]
+        spec = linear_basis(2)
+        h = basis_matrix(x, spec)
+        st = gpmod.fit(make_params([0.5, 0.7], nugget=1e-6, dtype=jnp.float64),
+                       x, y, h)
+        pred = gpmod.predictor(st)
+        xs = jnp.asarray(rng.uniform(size=(157, 2)))
+        hs = basis_matrix(xs, spec)
+        m1, v1 = gpmod.predict_fast(pred, x, xs, hs)
+        m2, v2 = gpmod.predict_batched(pred, x, xs, hs, batch=32)
+        np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-3, atol=1e-12)
