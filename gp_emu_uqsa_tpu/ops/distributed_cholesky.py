@@ -65,6 +65,71 @@ def _dist_chol_impl(a, *, block: int, axis_name: str | None):
     return jnp.where(cols <= rows, a, 0.0)
 
 
+@partial(jax.jit, static_argnames=("block", "trans"))
+def _dist_tri_solve_impl(l, b, *, block: int, trans: bool = False):
+    """Blocked substitution L x = b (or L^T x = b) with row-sharded L.
+
+    Per step: gather one (B, n) row (or (n, B) column) slice of L, one
+    GEMM against the solved part, one local B x B TRSM. Total comm n^2/B
+    rows; compute O(n^2 k), all GEMM-shaped.
+    """
+    n = l.shape[0]
+    nb = n // block
+    x = jnp.zeros_like(b)
+
+    def body_fwd(k, x):
+        off = k * block
+        rows = lax.dynamic_slice(l, (off, 0), (block, n))
+        partial_sum = rows @ x                    # solved prefix only:
+        bk = lax.dynamic_slice(b, (off, 0), (block, b.shape[1]))
+        lkk = lax.dynamic_slice(l, (off, off), (block, block))
+        # (entries of x at/after off are still zero, and rows' diag block
+        #  multiplies those zeros)
+        xk = lax.linalg.triangular_solve(
+            lkk, bk - partial_sum, left_side=True, lower=True
+        )
+        return lax.dynamic_update_slice(x, xk, (off, 0))
+
+    def body_bwd(kk, x):
+        k = nb - 1 - kk
+        off = k * block
+        cols = lax.dynamic_slice(l, (0, off), (n, block))   # (L^T) row slice
+        partial_sum = cols.T @ x                  # solved suffix only
+        bk = lax.dynamic_slice(b, (off, 0), (block, b.shape[1]))
+        lkk = lax.dynamic_slice(l, (off, off), (block, block))
+        xk = lax.linalg.triangular_solve(
+            lkk, bk - partial_sum, left_side=True, lower=True,
+            transpose_a=True,
+        )
+        return lax.dynamic_update_slice(x, xk, (off, 0))
+
+    return lax.fori_loop(0, nb, body_bwd if trans else body_fwd, x)
+
+
+def distributed_tri_solve(l, b, mesh: Mesh | None = None, *, axis: str = "mr",
+                          block: int = 512, trans: bool = False):
+    """Solve L x = b (or L^T x = b); L lower, row-sharded over `axis`."""
+    l = jnp.asarray(l)
+    b = jnp.asarray(b)
+    squeeze = b.ndim == 1
+    if squeeze:
+        b = b[:, None]
+    n = l.shape[0]
+    n_pad = ((n + block - 1) // block) * block
+    if n_pad != n:
+        big_l = jnp.zeros((n_pad, n_pad), l.dtype)
+        big_l = big_l.at[:n, :n].set(l)
+        big_l = big_l.at[jnp.arange(n, n_pad), jnp.arange(n, n_pad)].set(1.0)
+        l = big_l
+        b = jnp.pad(b, ((0, n_pad - n), (0, 0)))
+    if mesh is not None:
+        l = jax.device_put(l, NamedSharding(mesh, P(axis, None)))
+        b = jax.device_put(b, NamedSharding(mesh, P(axis, None)))
+    x = _dist_tri_solve_impl(l, b, block=block, trans=trans)
+    x = x[:n]
+    return x[:, 0] if squeeze else x
+
+
 def distributed_cholesky(
     a,
     mesh: Mesh | None = None,

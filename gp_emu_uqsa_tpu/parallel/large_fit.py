@@ -1,0 +1,96 @@
+"""Fully-distributed large-n GP fit (BASELINE config 5 training half).
+
+Pipeline, all row-sharded over mesh axis `mr`:
+  build_corr_sharded  ->  distributed_cholesky  ->  distributed TRSMs for
+  L^-1 y, L^-1 H  ->  (tiny) G/beta/sigma2 closed out replicated  ->  a
+  standard gp.FitState whose factor stays sharded on the mesh.
+
+The returned FitState is consumed by gp.predict / gp.predictor /
+parallel.ring exactly like the single-chip one — XLA keeps the sharded
+layout through downstream solves.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from gp_emu_uqsa_tpu import gp
+from gp_emu_uqsa_tpu.kernels import GPParams
+from gp_emu_uqsa_tpu.ops.distributed_cholesky import (
+    _dist_chol_impl, distributed_tri_solve,
+)
+from gp_emu_uqsa_tpu.parallel.sharded_gp import build_corr_sharded
+
+_LOG2PI = 1.8378770664093453
+
+
+def fit_large(
+    params: GPParams,
+    x,
+    y,
+    h,
+    mesh: Mesh,
+    *,
+    axis: str = "mr",
+    block: int = 512,
+    mode: str = "mucm",
+) -> gp.FitState:
+    """Distributed analog of gp.fit for n too large for one chip."""
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    h = jnp.asarray(h)
+    n, q = h.shape
+
+    a_sh, _ = build_corr_sharded(x, params, mesh, axis=axis)
+    n_pad = a_sh.shape[0]
+    blk = block if n_pad % block == 0 else n_pad // mesh.shape[axis]
+    l_pad = _dist_chol_impl(a_sh, block=blk, axis_name=axis)
+
+    y_pad = jnp.pad(y, (0, n_pad - n))
+    h_pad = jnp.pad(h, ((0, n_pad - n), (0, 0)))
+    rhs = jnp.concatenate([y_pad[:, None], h_pad], axis=1)
+    linv_rhs = distributed_tri_solve(l_pad, rhs, mesh, axis=axis, block=blk)
+    linv_y = linv_rhs[:n, 0]
+    linv_h = linv_rhs[:n, 1:]
+
+    g = linv_h.T @ linv_h
+    lg = jax.lax.linalg.cholesky(g, symmetrize_input=True)
+    hty = linv_h.T @ linv_y
+    lg_inv_hty = jax.lax.linalg.triangular_solve(
+        lg, hty[:, None], left_side=True, lower=True
+    )[:, 0]
+    beta = jax.lax.linalg.triangular_solve(
+        lg, lg_inv_hty[:, None], left_side=True, lower=True, transpose_a=True
+    )[:, 0]
+    resid = jnp.maximum(
+        jnp.sum(linv_y**2) - jnp.sum(lg_inv_hty**2), 0.0
+    )
+    # padded diag entries are 1.0 -> contribute log 1 = 0
+    logdet_a = 2.0 * jnp.sum(jnp.log(jnp.diagonal(l_pad)))
+    logdet_g = 2.0 * jnp.sum(jnp.log(jnp.diagonal(lg)))
+    if mode == "mucm":
+        sigma2 = resid / (n - q - 2)
+        nll_val = (
+            0.5 * (n - q) * jnp.log(sigma2) + 0.5 * logdet_a + 0.5 * logdet_g
+        )
+    else:
+        sigma2 = params.sigma2
+        nll_val = 0.5 * (
+            resid / sigma2 + n * jnp.log(sigma2) + logdet_a + n * _LOG2PI
+        )
+
+    resid_vec = linv_y - linv_h @ beta
+    e_pad = distributed_tri_solve(
+        l_pad, jnp.pad(resid_vec, (0, n_pad - n)), mesh, axis=axis,
+        block=blk, trans=True,
+    )
+    ainv_h_pad = distributed_tri_solve(
+        l_pad, jnp.pad(linv_h, ((0, n_pad - n), (0, 0))), mesh, axis=axis,
+        block=blk, trans=True,
+    )
+    l = l_pad[:n, :n]
+    return gp.FitState(
+        params, l, lg, beta, e_pad[:n], sigma2, ainv_h_pad[:n],
+        jnp.asarray(0.0, x.dtype), nll_val,
+    )

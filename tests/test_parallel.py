@@ -122,3 +122,36 @@ def test_sharded_corr_build_plus_distributed_chol():
     l = _dist_chol_impl(a_sh, block=a_sh.shape[0] // 4, axis_name="mr")
     l_np = np.asarray(l)[:n, :n]
     np.testing.assert_allclose(l_np @ l_np.T, a_ref, atol=1e-9)
+
+
+def test_fit_large_matches_local():
+    """Distributed large-n fit == single-device gp.fit, then predicts."""
+    from gp_emu_uqsa_tpu.basis import basis_matrix, linear_basis
+    from gp_emu_uqsa_tpu.kernels import make_params
+    from gp_emu_uqsa_tpu.parallel.large_fit import fit_large
+
+    rng = np.random.default_rng(6)
+    n, d = 220, 3
+    x = jnp.asarray(rng.uniform(size=(n, d)))
+    y = jnp.sin(3 * x[:, 0]) + x[:, 1] - 0.5 * x[:, 2]
+    spec = linear_basis(d)
+    h = basis_matrix(x, spec)
+    p = make_params(np.full(d, 0.7), nugget=1e-4, dtype=jnp.float64)
+    mesh = make_mesh({"mr": 8})
+    st_d = fit_large(p, x, y, h, mesh, block=64)
+    st_l = gp.fit(p, x, y, h)
+    np.testing.assert_allclose(float(st_d.nll), float(st_l.nll), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(st_d.beta), np.asarray(st_l.beta),
+                               rtol=1e-8)
+    np.testing.assert_allclose(float(st_d.sigma2), float(st_l.sigma2),
+                               rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(st_d.e), np.asarray(st_l.e),
+                               rtol=1e-6, atol=1e-8)
+    # downstream prediction through the standard path
+    xs = jnp.asarray(rng.uniform(size=(13, d)))
+    hs = basis_matrix(xs, spec)
+    m_d, v_d = gp.predict(st_d, x, h, xs, hs)
+    m_l, v_l = gp.predict(st_l, x, h, xs, hs)
+    np.testing.assert_allclose(np.asarray(m_d), np.asarray(m_l), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(v_d), np.asarray(v_l), rtol=1e-6,
+                               atol=1e-10)
