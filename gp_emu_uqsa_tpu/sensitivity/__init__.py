@@ -18,10 +18,27 @@ from gp_emu_uqsa_tpu.emulator import Emulator
 from gp_emu_uqsa_tpu.sensitivity._core import Sensitivity
 
 
-def setup(emul: Emulator, m, v) -> Sensitivity:
-    """Build the Sensitivity engine from a trained Emulator."""
+def setup(emul: Emulator, m, v, *, raw_space: bool = False) -> Sensitivity:
+    """Build the Sensitivity engine from a trained Emulator.
+
+    m, v are the input-distribution means/variances. By default they are in
+    the emulator's internal (min-max scaled) input space, like the
+    reference; with raw_space=True they are given in ORIGINAL simulator
+    units and transformed through the emulator's stored scaling
+    (m' = (m-lo)/span, v' = v/span^2).
+    """
     if emul.state is None:
         raise RuntimeError("emulator must be trained before sensitivity setup")
+    m = np.asarray(m, dtype=np.float64)
+    v = np.asarray(v, dtype=np.float64)
+    if raw_space:
+        if emul.splits.minmax is None:
+            raise ValueError("raw_space=True needs a scaled emulator "
+                             "(splits.minmax is None)")
+        mm = np.asarray(emul.splits.minmax)
+        span = np.where(mm[:, 1] > mm[:, 0], mm[:, 1] - mm[:, 0], 1.0)
+        m = (m - mm[:, 0]) / span
+        v = v / span**2
     x, y, h = emul.train_view()
     beta = emul.fixed_beta if emul.fixed_beta is not None else None
     return Sensitivity(emul.state, x, emul.spec, m, v, beta=beta)

@@ -1,0 +1,100 @@
+"""Roofline measurement harness for the hot linalg ops.
+
+BASELINE north star: ">=50% of roofline on n=16k Cholesky+solve". This
+module measures achieved FLOP rates of kernel build / Cholesky / TRSM /
+predict against the chip's peak and prints a compact report.
+
+Timing uses host-scalar materialization between reps because
+block_until_ready under-reports on remote-tunnel backends (see project
+memory); per-call totals are kept modest so fragile tunnels survive.
+"""
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+# v5e (TPU v5 lite): ~197 TFLOP/s bf16, ~98 fp32-via-bf16x3 is lower;
+# use the bf16 number as the optimistic roof and report both.
+PEAK_FLOPS = {"TPU v5 lite": 197e12, "cpu": 1e11}
+
+
+def _peak(device_str: str) -> float:
+    for k, v in PEAK_FLOPS.items():
+        if k.lower() in device_str.lower():
+            return v
+    return PEAK_FLOPS["cpu"]
+
+
+def _time(fn, sync, reps=3):
+    fn_out = fn()
+    sync(fn_out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        sync(fn())
+    return (time.perf_counter() - t0) / reps
+
+
+def measure(n: int = 4096, d: int = 8, m: int = 8192, dtype=None):
+    """Measure the hot ops at size n; returns a dict of (secs, tflops, pct)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from gp_emu_uqsa_tpu import gp
+    from gp_emu_uqsa_tpu.basis import basis_matrix, linear_basis
+    from gp_emu_uqsa_tpu.kernels import gaussian_corr_self, make_params
+    from gp_emu_uqsa_tpu.ops.cholesky import cholesky_blocked_padded
+
+    dtype = dtype or jnp.float32
+    dev = str(jax.devices()[0])
+    peak = _peak(dev)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(size=(n, d)), dtype)
+    params = make_params(np.full(d, 0.8), nugget=1e-4, dtype=dtype)
+    spec = linear_basis(d)
+    h = basis_matrix(x, spec)
+    y = jnp.sin(3.0 * x[:, 0]) + x[:, 1]
+    xs = jnp.asarray(rng.uniform(size=(m, d)), dtype)
+    hs = basis_matrix(xs, spec)
+
+    build = jax.jit(lambda x: gaussian_corr_self(x, params))
+    a = build(x)
+    float(a[0, 0])
+    chol_xla = jax.jit(lambda a: lax.linalg.cholesky(a, symmetrize_input=False))
+    chol_blk = jax.jit(lambda a: cholesky_blocked_padded(a, leaf=512))
+    fit = jax.jit(lambda: gp.fit(params, x, y, h))
+    state = fit()
+    pred = jax.jit(gp.predictor)(state)
+    float(pred.sigma2)
+    predict = jax.jit(lambda: gp.predict_fast(pred, x, xs, hs))
+
+    results = {}
+
+    def add(name, secs, flops):
+        tf = flops / secs / 1e12
+        results[name] = {
+            "seconds": round(secs, 5),
+            "tflops": round(tf, 2),
+            "pct_of_peak": round(100 * tf * 1e12 / peak, 1),
+        }
+
+    add("kernel_build", _time(lambda: build(x), lambda o: float(o[0, 0])),
+        2 * n * n * d)
+    add("cholesky_xla", _time(lambda: chol_xla(a), lambda o: float(o[n - 1, n - 1])),
+        n**3 / 3)
+    add("cholesky_blocked", _time(lambda: chol_blk(a), lambda o: float(o[n - 1, n - 1])),
+        n**3 / 3)
+    add("fit_total", _time(fit, lambda o: float(o.nll)), n**3 / 3 + 2 * n * n * d)
+    # dominant predict cost: the (m, n) x (n, n) A^-1 GEMM
+    add("predict_fast", _time(predict, lambda o: float(o[1][-1])),
+        2 * m * n * n)
+    results["device"] = dev
+    results["n"] = n
+    return results
+
+
+if __name__ == "__main__":
+    import json
+
+    print(json.dumps(measure(), indent=1))

@@ -240,3 +240,27 @@ class TestMarginalized:
         )
         assert res["n_draws"] == 8
         assert np.all(res["S_i_sd"] >= 0)
+
+
+def test_raw_space_setup():
+    """raw_space m/v transform through the emulator's min-max scaling."""
+    import jax
+    import gp_emu_uqsa_tpu as g
+    import gp_emu_uqsa_tpu.sensitivity as s
+
+    rng = np.random.default_rng(0)
+    x_raw = rng.uniform(low=[-5, 0], high=[10, 15], size=(50, 2))
+    y = np.sin(x_raw[:, 0] / 3) + 0.1 * x_raw[:, 1]
+    emul = g.Emulator.from_arrays(x_raw, y, tries=3, seed=1)
+    emul.train_full()
+    # same distribution expressed both ways must give identical indices
+    m_raw = np.array([2.5, 7.5])
+    v_raw = np.array([2.25, 2.25])
+    mm = np.asarray(emul.splits.minmax)
+    span = mm[:, 1] - mm[:, 0]
+    s1 = s.setup(emul, (m_raw - mm[:, 0]) / span, v_raw / span**2)
+    s2 = s.setup(emul, m_raw, v_raw, raw_space=True)
+    np.testing.assert_allclose(
+        np.asarray(s1.sensitivity()["S_i"]),
+        np.asarray(s2.sensitivity()["S_i"]), rtol=1e-12,
+    )
