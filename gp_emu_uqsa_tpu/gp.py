@@ -91,11 +91,8 @@ def _guard(nll: jax.Array) -> jax.Array:
     return jnp.where(jnp.isfinite(nll), nll, jnp.asarray(jnp.inf, nll.dtype))
 
 
-def nll_mucm(params: GPParams, x, y, h, noise_diag=None) -> jax.Array:
-    """Concentrated (MUCM) negative log-likelihood; sigma^2 profiled out.
-
-    Reference: `Optimize.loglikelihood_mucm` (SURVEY.md S3/S4.2).
-    """
+def nll_mucm_ad(params: GPParams, x, y, h, noise_diag=None) -> jax.Array:
+    """Concentrated NLL via plain autodiff (reference for the custom VJP)."""
     n, q = h.shape[0], h.shape[1]
     (_, _, _, _, _, _, _, resid, logdet_a, logdet_g) = _common(
         params, x, y, h, noise_diag
@@ -104,6 +101,84 @@ def nll_mucm(params: GPParams, x, y, h, noise_diag=None) -> jax.Array:
     sigma2_hat = resid / dof
     nll = 0.5 * (n - q) * jnp.log(sigma2_hat) + 0.5 * logdet_a + 0.5 * logdet_g
     return _guard(nll)
+
+
+@jax.custom_vjp
+def _nll_mucm_cvjp(params: GPParams, x, y, h):
+    return nll_mucm_ad(params, x, y, h)
+
+
+def _nll_mucm_fwd(params, x, y, h):
+    n, q = h.shape[0], h.shape[1]
+    (_, l, _, linv_y, linv_h, lg, beta, resid, logdet_a, logdet_g) = _common(
+        params, x, y, h
+    )
+    dof = n - q - 2
+    nll = 0.5 * (n - q) * jnp.log(resid / dof) + 0.5 * logdet_a + 0.5 * logdet_g
+    e = tri_solve(l, (linv_y - linv_h @ beta)[:, None], trans=True)[:, 0]
+    return _guard(nll), (params, x, l, linv_h, lg, e, resid)
+
+
+def _nll_mucm_bwd(res, ct):
+    """Analytic adjoint (SURVEY.md S9.4 'custom VJP re-using the factor').
+
+    dNLL/dA = 1/2 A^-1 - 1/2 (A^-1 H) G^-1 (A^-1 H)^T
+              - (n-q)/(2 resid) e e^T
+    then chained through A(delta, nugget):
+      dA_ij/dlog delta_l = A_ij * 2 ((x_il-x_jl)/delta_l)^2
+      dA/dlog nugget     = nugget * I
+    The per-dim contraction collapses to rank-1 reductions:
+      sum_ij M_ij (x_il-x_jl)^2 = (r+c)^T x_l^2 - 2 x_l^T M x_l,
+    with M = W (*) A, r/c the row/col sums of M — O(n^2 d) total, all
+    GEMM-shaped, reusing the forward factor (no Cholesky adjoint pass).
+    """
+    params, x, l, linv_h, lg, e, resid = res
+    n = x.shape[0]
+    q = linv_h.shape[1]
+    dtype = x.dtype
+    linv = tri_solve(l, jnp.eye(n, dtype=dtype))
+    ainv = linv.T @ linv
+    ainv_h = tri_solve(l, linv_h, trans=True)            # (n, q)
+    lg_inv_ah = tri_solve(lg, ainv_h.T)                  # (q, n) = Lg^-1 H^T A^-T
+    w = (
+        0.5 * ainv
+        - 0.5 * (lg_inv_ah.T @ lg_inv_ah)
+        - ((n - q) / (2.0 * resid)) * jnp.outer(e, e)
+    )
+    delta2 = jnp.exp(2.0 * params.log_delta)
+    a_mat = gaussian_corr_self(x, params)
+    m = w * a_mat
+    rc = jnp.sum(m, axis=0) + jnp.sum(m, axis=1)         # r + c (symmetric M)
+    t1 = rc @ (x * x)                                     # (d,)
+    t2 = jnp.sum(x * (m @ x), axis=0)                     # (d,)
+    grad_log_delta = (2.0 / delta2) * (t1 - 2.0 * t2) * ct
+    grad_log_nugget = params.nugget * jnp.trace(w) * ct
+    grad_params = GPParams(
+        grad_log_delta,
+        jnp.zeros_like(params.log_sigma2),
+        grad_log_nugget,
+    )
+    # dNLL/dy = (n-q)/resid * P y = (n-q)/resid * e  (exact, cheap).
+    grad_y = ((n - q) / resid) * e * ct
+    # x and h cotangents are not needed by any caller (hyperparameter
+    # optimization/sampling differentiates w.r.t. params only); returning
+    # zeros keeps them formally defined.
+    return (grad_params, jnp.zeros_like(x), grad_y, jnp.zeros((n, q), dtype))
+
+
+_nll_mucm_cvjp.defvjp(_nll_mucm_fwd, _nll_mucm_bwd)
+
+
+def nll_mucm(params: GPParams, x, y, h, noise_diag=None) -> jax.Array:
+    """Concentrated (MUCM) negative log-likelihood; sigma^2 profiled out.
+
+    Reference: `Optimize.loglikelihood_mucm` (SURVEY.md S3/S4.2). Uses the
+    analytic custom VJP (factor-reusing adjoint) on the no-noise_diag hot
+    path; the heteroscedastic path falls back to autodiff.
+    """
+    if noise_diag is None:
+        return _nll_mucm_cvjp(params, x, y, h)
+    return nll_mucm_ad(params, x, y, h, noise_diag)
 
 
 def nll_gp4ml(params: GPParams, x, y, h, noise_diag=None) -> jax.Array:

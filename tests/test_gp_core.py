@@ -180,3 +180,36 @@ class TestFastPredictor:
         np.testing.assert_allclose(np.asarray(mf), np.asarray(me), rtol=1e-10)
         np.testing.assert_allclose(np.asarray(vf), np.asarray(ve),
                                    rtol=1e-6, atol=1e-12)
+
+
+class TestCustomVJP:
+    def test_analytic_gradient_matches_autodiff(self):
+        x, y = _problem(n=35)
+        h = basis_matrix(jnp.asarray(x), linear_basis(3))
+        p = make_params(DELTA, nugget=1e-4, dtype=jnp.float64)
+        xj, yj = jnp.asarray(x), jnp.asarray(y)
+        g_custom = jax.grad(lambda q: gp.nll_mucm(q, xj, yj, h))(p)
+        g_auto = jax.grad(lambda q: gp.nll_mucm_ad(q, xj, yj, h))(p)
+        np.testing.assert_allclose(np.asarray(g_custom.log_delta),
+                                   np.asarray(g_auto.log_delta), rtol=1e-7)
+        np.testing.assert_allclose(float(g_custom.log_nugget),
+                                   float(g_auto.log_nugget), rtol=1e-6)
+        # values also identical
+        v1 = float(gp.nll_mucm(p, xj, yj, h))
+        v2 = float(gp.nll_mucm_ad(p, xj, yj, h))
+        np.testing.assert_allclose(v1, v2, rtol=1e-12)
+
+    def test_finite_differences(self):
+        x, y = _problem(n=25)
+        h = basis_matrix(jnp.asarray(x), linear_basis(3))
+        xj, yj = jnp.asarray(x), jnp.asarray(y)
+        p = make_params(DELTA, nugget=1e-4, dtype=jnp.float64)
+        g = jax.grad(lambda q: gp.nll_mucm(q, xj, yj, h))(p)
+        eps = 1e-6
+        for l in range(3):
+            ld = p.log_delta.at[l].add(eps)
+            v_plus = float(gp.nll_mucm(p._replace(log_delta=ld), xj, yj, h))
+            ld = p.log_delta.at[l].add(-eps)
+            v_minus = float(gp.nll_mucm(p._replace(log_delta=ld), xj, yj, h))
+            fd = (v_plus - v_minus) / (2 * eps)
+            np.testing.assert_allclose(float(g.log_delta[l]), fd, rtol=1e-4)
