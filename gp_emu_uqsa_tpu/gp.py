@@ -26,6 +26,7 @@ factorizations so multi-restart optimization and HMC skip bad regions).
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -55,18 +56,26 @@ class FitState(NamedTuple):
     nll: jax.Array        # ()     NLL at these params
 
 
-def _common(params: GPParams, x, y, h, noise_diag=None):
+def _common(params: GPParams, x, y, h, noise_diag=None, ladder=True):
     """Shared pipeline: factorize A, whiten y and H, GLS beta, residual.
 
     Returns everything both likelihood modes and the fit state need.
     noise_diag: optional per-point noise variances added to the diagonal
     (heteroscedastic nugget, in correlation units) — the Goldberg-style
     noise-fit path (noise_fit/).
+    ladder=False uses a single plain Cholesky (no jitter retry): required in
+    code that compiles under shard_map — the retry while_loop (cholesky in
+    its cond) makes the SPMD partitioner pathologically slow — and fine for
+    samplers, which reject non-finite energies anyway.
     """
     a = gaussian_corr_self(x, params)
     if noise_diag is not None:
         a = a + jnp.diag(jnp.asarray(noise_diag, a.dtype))
-    l, jitter = cholesky_with_jitter(a)
+    if ladder:
+        l, jitter = cholesky_with_jitter(a)
+    else:
+        l = lax.linalg.cholesky(a, symmetrize_input=False)
+        jitter = jnp.asarray(0.0, a.dtype)
     linv_y = tri_solve(l, y[:, None])[:, 0]          # L^-1 y
     linv_h = tri_solve(l, h)                         # L^-1 H
     g = linv_h.T @ linv_h                            # H^T A^-1 H
@@ -91,11 +100,12 @@ def _guard(nll: jax.Array) -> jax.Array:
     return jnp.where(jnp.isfinite(nll), nll, jnp.asarray(jnp.inf, nll.dtype))
 
 
-def nll_mucm_ad(params: GPParams, x, y, h, noise_diag=None) -> jax.Array:
+def nll_mucm_ad(params: GPParams, x, y, h, noise_diag=None,
+                ladder=True) -> jax.Array:
     """Concentrated NLL via plain autodiff (reference for the custom VJP)."""
     n, q = h.shape[0], h.shape[1]
     (_, _, _, _, _, _, _, resid, logdet_a, logdet_g) = _common(
-        params, x, y, h, noise_diag
+        params, x, y, h, noise_diag, ladder
     )
     dof = n - q - 2
     sigma2_hat = resid / dof
@@ -103,15 +113,15 @@ def nll_mucm_ad(params: GPParams, x, y, h, noise_diag=None) -> jax.Array:
     return _guard(nll)
 
 
-@jax.custom_vjp
-def _nll_mucm_cvjp(params: GPParams, x, y, h):
-    return nll_mucm_ad(params, x, y, h)
+@partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _nll_mucm_cvjp(params: GPParams, x, y, h, ladder=True):
+    return nll_mucm_ad(params, x, y, h, ladder=ladder)
 
 
-def _nll_mucm_fwd(params, x, y, h):
+def _nll_mucm_fwd(params, x, y, h, ladder=True):
     n, q = h.shape[0], h.shape[1]
     (_, l, _, linv_y, linv_h, lg, beta, resid, logdet_a, logdet_g) = _common(
-        params, x, y, h
+        params, x, y, h, None, ladder
     )
     dof = n - q - 2
     nll = 0.5 * (n - q) * jnp.log(resid / dof) + 0.5 * logdet_a + 0.5 * logdet_g
@@ -119,7 +129,7 @@ def _nll_mucm_fwd(params, x, y, h):
     return _guard(nll), (params, x, l, linv_h, lg, e, resid)
 
 
-def _nll_mucm_bwd(res, ct):
+def _nll_mucm_bwd(ladder, res, ct):
     """Analytic adjoint (SURVEY.md S9.4 'custom VJP re-using the factor').
 
     dNLL/dA = 1/2 A^-1 - 1/2 (A^-1 H) G^-1 (A^-1 H)^T
@@ -169,7 +179,8 @@ def _nll_mucm_bwd(res, ct):
 _nll_mucm_cvjp.defvjp(_nll_mucm_fwd, _nll_mucm_bwd)
 
 
-def nll_mucm(params: GPParams, x, y, h, noise_diag=None) -> jax.Array:
+def nll_mucm(params: GPParams, x, y, h, noise_diag=None,
+             ladder: bool = True) -> jax.Array:
     """Concentrated (MUCM) negative log-likelihood; sigma^2 profiled out.
 
     Reference: `Optimize.loglikelihood_mucm` (SURVEY.md S3/S4.2). Uses the
@@ -177,28 +188,31 @@ def nll_mucm(params: GPParams, x, y, h, noise_diag=None) -> jax.Array:
     path; the heteroscedastic path falls back to autodiff.
     """
     if noise_diag is None:
-        return _nll_mucm_cvjp(params, x, y, h)
-    return nll_mucm_ad(params, x, y, h, noise_diag)
+        return _nll_mucm_cvjp(params, x, y, h, ladder)
+    return nll_mucm_ad(params, x, y, h, noise_diag, ladder)
 
 
-def nll_gp4ml(params: GPParams, x, y, h, noise_diag=None) -> jax.Array:
+def nll_gp4ml(params: GPParams, x, y, h, noise_diag=None,
+              ladder: bool = True) -> jax.Array:
     """Full marginal NLL with explicit sigma^2 (beta profiled via GLS).
 
     Reference: `Optimize.loglikelihood_gp4ml` (SURVEY.md S3/S4.2).
     """
     n = h.shape[0]
-    (_, _, _, _, _, _, _, resid, logdet_a, _) = _common(params, x, y, h, noise_diag)
+    (_, _, _, _, _, _, _, resid, logdet_a, _) = _common(
+        params, x, y, h, noise_diag, ladder
+    )
     s2 = params.sigma2
     nll = 0.5 * (resid / s2 + n * jnp.log(s2) + logdet_a + n * _LOG2PI)
     return _guard(nll)
 
 
 def nll(params: GPParams, x, y, h, *, mode: str = "mucm",
-        noise_diag=None) -> jax.Array:
+        noise_diag=None, ladder: bool = True) -> jax.Array:
     if mode == "mucm":
-        return nll_mucm(params, x, y, h, noise_diag)
+        return nll_mucm(params, x, y, h, noise_diag, ladder)
     if mode == "gp4ml":
-        return nll_gp4ml(params, x, y, h, noise_diag)
+        return nll_gp4ml(params, x, y, h, noise_diag, ladder)
     raise ValueError(f"unknown likelihood mode {mode!r}")
 
 

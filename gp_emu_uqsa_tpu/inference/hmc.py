@@ -288,7 +288,10 @@ def make_gp_logdensity(x, y, h, cfg: MLEConfig, prior_scale: float = 3.0,
 
     def logdensity(z):
         params = _unpack(z, cfg, d, x.dtype)
-        nll_val = gp.nll(params, x, y, h, mode=cfg.mode)
+        # ladder=False: the jitter-retry while_loop makes SPMD partitioning
+        # of sharded-chain samplers pathologically slow, and samplers reject
+        # non-finite energies anyway
+        nll_val = gp.nll(params, x, y, h, mode=cfg.mode, ladder=False)
         nll_val = jnp.where(jnp.isfinite(nll_val), nll_val, 1e12)
         lp = -0.5 * jnp.sum(((z - prior_mean) / prior_scale) ** 2)
         return -nll_val + lp

@@ -115,3 +115,31 @@ def test_sharded_chains_match_unsharded():
     np.testing.assert_allclose(flat.var(0), np.asarray(var), rtol=0.35)
     # cross-chain adaptation produced a single consistent step size
     assert float(stats_sh["accept_rate"]) > 0.5
+
+
+def test_config4_sharded_gp_hmc():
+    """BASELINE config 4 shape: GP-hyperparameter HMC, chains sharded."""
+    rng = np.random.default_rng(0)
+    x = rng.uniform(size=(60, 3))
+    y = np.sin(5 * x[:, 0]) * np.exp(-x[:, 1]) + x[:, 2] ** 2
+    h = basis_matrix(jnp.asarray(x), linear_basis(3))
+    from gp_emu_uqsa_tpu.inference.hmc import make_gp_logdensity
+    ld = make_gp_logdensity(x, y, h, MLEConfig(nugget=1e-6))
+    mesh = Mesh(np.array(jax.devices()), ("chains",))
+    cfg = HMCConfig(n_warmup=100, n_samples=100, n_leapfrog=8)
+    z0 = jnp.log(0.5) + 0.2 * jax.random.normal(jax.random.key(0), (16, 3),
+                                                jnp.float64)
+
+    def run(key, z0):
+        return jax.shard_map(
+            lambda k, z: hmc_sample(k, ld, z, cfg, axis_name="chains"),
+            mesh=mesh, in_specs=(P(), P("chains")),
+            out_specs=(P("chains"), P()), check_vma=False,
+        )(key, z0)
+
+    samples, stats = jax.jit(run)(jax.random.key(1), z0)
+    assert samples.shape[:2] == (16, 100)
+    assert np.all(np.isfinite(np.asarray(samples)))
+    assert float(stats["accept_rate"]) > 0.4
+    rhat = np.asarray(split_rhat(samples))
+    assert np.all(rhat < 1.3), rhat
