@@ -316,7 +316,12 @@ def predictor(state: FitState, x=None, h=None) -> Predictor:
 
 
 def predict_fast(pred: Predictor, x, xstar, hstar, *, include_nugget=False):
-    """Batched posterior mean/var via GEMMs only (serving hot path)."""
+    """Batched posterior mean/var via GEMMs only (serving hot path).
+
+    NOTE a bf16 variant of the A^-1 quadratic form was tried and removed:
+    A^-1 entries scale like 1/nugget and the form cancels to O(sigma2), so
+    bf16's 8-bit mantissa produces O(1) relative variance error. Keep fp32.
+    """
     c_star = gaussian_corr(xstar, x, pred.params)          # (m, n)
     mean = hstar @ pred.beta + c_star @ pred.e
     av = c_star @ pred.ainv                                # (m, n) GEMM

@@ -181,3 +181,42 @@ class TestBayesFacade:
         m2, v2 = gpmod.predict_batched(pred, x, xs, hs, batch=32)
         np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), rtol=1e-12)
         np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-3, atol=1e-12)
+
+
+class TestActiveAndInteractive:
+    def test_active_subset_and_output_column(self, tmp_path):
+        """active-dim subset + multi-column output selection via beliefs."""
+        rng = np.random.default_rng(0)
+        x = rng.uniform(size=(60, 4))
+        y0 = np.sin(4 * x[:, 1]) + x[:, 3]          # depends on dims 1, 3
+        y1 = np.cos(2 * x[:, 0])
+        np.savetxt(tmp_path / "in", x)
+        np.savetxt(tmp_path / "out", np.c_[y1, y0])
+        (tmp_path / "bel").write_text(
+            "active 1 3\noutput 1\nbasis_str 1.0 x x\nbasis_inf NA 0 1\n"
+            "mucm T\nkernel gaussian()\ndelta 1.0 1.0\nsigma 1.0\n"
+            "nugget 0.0\nfix_nugget T\n"
+        )
+        (tmp_path / "conf").write_text(
+            "beliefs bel\ninputs in\noutputs out\ntv_config 6 0 1\ntries 3\n"
+        )
+        emul = g.setup(tmp_path / "conf")
+        g.final_build(emul)
+        # predict on raw 4-col inputs; only active dims should matter
+        xt = rng.uniform(size=(30, 4))
+        mean, _ = emul.predict(xt)
+        truth = np.sin(4 * xt[:, 1]) + xt[:, 3]
+        rmse = float(np.sqrt(np.mean((np.asarray(mean) - truth) ** 2)))
+        assert rmse < 0.05, rmse
+
+    def test_interactive_train_decline(self, toy_dir, monkeypatch):
+        """auto=False asks before folding; 'n' stops the V loop."""
+        emul = g.setup(toy_dir / "toy-sim_config")
+        answers = iter(["n"])
+        monkeypatch.setattr("builtins.input", lambda prompt="": next(answers))
+        g.train(emul, auto=False)
+        # declined the first fold => final build still ran on all data
+        assert emul.state is not None
+        assert emul.n_folded == emul.splits.n_v_sets  # final_build folds all
+
+
