@@ -130,6 +130,83 @@ def distributed_tri_solve(l, b, mesh: Mesh | None = None, *, axis: str = "mr",
     return x[:, 0] if squeeze else x
 
 
+def _rec_chol(a, shard, leaf: int):
+    """Recursive split on a row-sharded global array (see wrapper below)."""
+    n = a.shape[0]
+    if n <= leaf:
+        # leaf factorization is replicated: 2.8 GFLOP at leaf=2048 —
+        # negligible vs the trailing GEMMs it unlocks
+        return lax.linalg.cholesky(a, symmetrize_input=False)
+    half = n // 2
+    a11 = a[:half, :half]
+    a21 = shard(a[half:, :half])
+    a22 = shard(a[half:, half:])
+    l11 = _rec_chol(a11, shard, leaf)
+    # row-local TRSM: each shard of a21 solves against the (gathered) l11
+    l21 = shard(lax.linalg.triangular_solve(
+        l11, a21, left_side=False, lower=True, transpose_a=True
+    ))
+    update = lax.dot_general(
+        l21, l21,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=a.dtype,
+    )
+    l22 = _rec_chol(shard(a22 - update), shard, leaf)
+    zeros = jnp.zeros((half, n - half), a.dtype)
+    return jnp.concatenate(
+        [jnp.concatenate([l11, zeros], axis=1),
+         jnp.concatenate([l21, l22], axis=1)],
+        axis=0,
+    )
+
+
+def distributed_cholesky_recursive(
+    a,
+    mesh: Mesh | None = None,
+    *,
+    axis: str = "mr",
+    leaf: int = 2048,
+):
+    """Recursive distributed Cholesky: ~1.5x minimal FLOPs (vs ~3x for the
+    masked panel scheme) — every FLOP a large MXU GEMM/TRSM.
+
+        chol([[A11, .], [A21, A22]]):
+          L11 = rec(A11)                      (left recursion)
+          L21 = A21 L11^-T                    (row-local TRSM; L11 gathered)
+          L22 = rec(A22 - L21 L21^T)          (one all-gather of L21/level)
+
+    Comm: one all-gather per recursion node, total ~n^2/2 words over ICI.
+    The recursion unrolls at trace time (log2(n/leaf) levels, static
+    shapes); sharding constraints keep every >leaf intermediate row-sharded
+    so GSPMD's SPMD partitioning matches the 1D panel scheme's layout.
+    `a` is padded to a power-of-two multiple of `leaf` (identity tail).
+    """
+    a = jnp.asarray(a)
+    n = a.shape[0]
+    target = leaf
+    while target < n:
+        target *= 2
+    if target != n:
+        big = jnp.zeros((target, target), a.dtype)
+        big = big.at[:n, :n].set(a)
+        big = big.at[jnp.arange(n, target), jnp.arange(n, target)].set(1.0)
+        a = big
+    if mesh is not None:
+        sharding = NamedSharding(mesh, P(axis, None))
+        a = jax.device_put(a, sharding)
+
+        def shard(x):
+            if x.shape[0] % mesh.shape[axis] == 0:
+                return lax.with_sharding_constraint(x, sharding)
+            return x
+    else:
+        def shard(x):
+            return x
+
+    l = jax.jit(partial(_rec_chol, shard=shard, leaf=leaf))(a)
+    return l[:n, :n]
+
+
 def distributed_cholesky(
     a,
     mesh: Mesh | None = None,

@@ -100,6 +100,29 @@ def test_distributed_cholesky():
         assert np.allclose(np.triu(l_got, 1), 0.0)
 
 
+def test_distributed_cholesky_recursive():
+    """Recursive distributed Cholesky == LAPACK, sharded and unsharded."""
+    from gp_emu_uqsa_tpu.ops.distributed_cholesky import (
+        distributed_cholesky_recursive,
+    )
+
+    rng = np.random.default_rng(7)
+    for n, leaf in ((300, 64), (1024, 128)):
+        m = rng.standard_normal((n, n))
+        a = (m @ m.T + n * np.eye(n)).astype(np.float64)
+        l_ref = np.linalg.cholesky(a)
+        mesh = make_mesh({"mr": 8})
+        l_got = np.asarray(
+            distributed_cholesky_recursive(jnp.asarray(a), mesh, leaf=leaf)
+        )
+        np.testing.assert_allclose(l_got, l_ref, rtol=1e-9, atol=1e-9)
+        assert np.allclose(np.triu(l_got, 1), 0.0)
+        l_loc = np.asarray(
+            distributed_cholesky_recursive(jnp.asarray(a), None, leaf=leaf)
+        )
+        np.testing.assert_allclose(l_loc, l_ref, rtol=1e-9, atol=1e-9)
+
+
 def test_sharded_corr_build_plus_distributed_chol():
     """End-to-end large-n path: sharded A build -> distributed Cholesky."""
     from gp_emu_uqsa_tpu.kernels import make_params, gaussian_corr_self
@@ -155,3 +178,6 @@ def test_fit_large_matches_local():
     np.testing.assert_allclose(np.asarray(m_d), np.asarray(m_l), rtol=1e-9)
     np.testing.assert_allclose(np.asarray(v_d), np.asarray(v_l), rtol=1e-6,
                                atol=1e-10)
+    # the masked-panel factorization path stays equivalent
+    st_p = fit_large(p, x, y, h, mesh, block=64, factorization="panel")
+    np.testing.assert_allclose(float(st_p.nll), float(st_l.nll), rtol=1e-10)
