@@ -75,7 +75,25 @@ def bench_jax():
         out = predict_jit(pred, x, xs, hs)
         float(out[1][-1])
     pred_s = (time.perf_counter() - t0) / reps
-    return fit_s, N_PRED / pred_s, str(jax.devices()[0])
+
+    # mean-only serving via the fused Pallas kernel (ops/serve.py): the
+    # (m, n) cross-correlation block never touches HBM. TPU-only (the
+    # compiled kernel has no CPU backend); report 0.0 when unavailable.
+    serve_pps = 0.0
+    try:
+        from gp_emu_uqsa_tpu.ops.serve import serve_mean_pallas
+
+        serve_jit = jax.jit(lambda pr, x, xs, hs: serve_mean_pallas(pr, x, xs, hs))
+        m_out = serve_jit(pred, x, xs, hs)
+        float(m_out[-1])
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            m_out = serve_jit(pred, x, xs, hs)
+            float(m_out[-1])
+        serve_pps = N_PRED / ((time.perf_counter() - t0) / reps)
+    except Exception:
+        pass
+    return fit_s, N_PRED / pred_s, serve_pps, str(jax.devices()[0])
 
 
 def bench_numpy():
@@ -121,7 +139,7 @@ def bench_numpy():
 
 
 def main():
-    fit_jax, pps_jax, device = bench_jax()
+    fit_jax, pps_jax, serve_pps, device = bench_jax()
     fit_np, pps_np = bench_numpy()
     print(
         json.dumps(
@@ -131,6 +149,7 @@ def main():
                 "unit": "points/s (mean+var)",
                 "vs_baseline": round(pps_jax / pps_np, 2),
                 "fit_seconds_n4096": round(fit_jax, 4),
+                "serve_mean_points_per_s_pallas": round(serve_pps, 1),
                 "numpy_baseline_points_per_s": round(pps_np, 1),
                 "numpy_fit_seconds": round(fit_np, 4),
                 "device": device,

@@ -89,9 +89,64 @@ def measure(n: int = 4096, d: int = 8, m: int = 8192, dtype=None):
     # dominant predict cost: the (m, n) x (n, n) A^-1 GEMM
     add("predict_fast", _time(predict, lambda o: float(o[1][-1])),
         2 * m * n * n)
+    try:
+        from gp_emu_uqsa_tpu.ops.serve import serve_mean_pallas
+
+        serve = jax.jit(lambda: serve_mean_pallas(pred, x, xs, hs))
+        float(serve()[-1])
+        # fused mean path: distance GEMM + 128-wide RHS contraction
+        add("serve_mean_pallas", _time(serve, lambda o: float(o[-1])),
+            2 * m * n * (d + 128))
+    except Exception:
+        pass
     results["device"] = dev
     results["n"] = n
     return results
+
+
+def measure_hmc(n_chains: int = 64, n: int = 256, d: int = 4,
+                n_samples: int = 128, n_warmup: int = 128,
+                n_leapfrog: int = 16):
+    """HMC samples/s/chip at 64 chains (BASELINE config 4 metric).
+
+    All chains run as one batched jit program on the local chip; multiply
+    by chips and the measured cross-host scaling efficiency for slice
+    throughput. Each leapfrog step is one NLL+grad = one O(n^3/3)
+    factorization via the factor-reusing analytic VJP.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from gp_emu_uqsa_tpu.basis import basis_matrix, linear_basis
+    from gp_emu_uqsa_tpu.inference import MLEConfig
+    from gp_emu_uqsa_tpu.inference.hmc import (
+        HMCConfig, hmc_sample, make_gp_logdensity,
+    )
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(size=(n, d)), jnp.float32)
+    y = jnp.sin(3.0 * x[:, 0]) + x[:, 1]
+    h = basis_matrix(x, linear_basis(d))
+    ld = make_gp_logdensity(x, y, h, MLEConfig(mode="mucm", nugget=1e-6))
+    cfg = HMCConfig(n_warmup=n_warmup, n_samples=n_samples,
+                    n_leapfrog=n_leapfrog)
+    z0 = jnp.zeros((n_chains, d), jnp.float32)
+    run = jax.jit(lambda k: hmc_sample(k, ld, z0, cfg))
+    samples, stats = run(jax.random.key(0))
+    float(samples[-1, -1, -1])            # warm the compile
+    t0 = time.perf_counter()
+    samples, stats = run(jax.random.key(1))
+    float(samples[-1, -1, -1])
+    secs = time.perf_counter() - t0
+    total = n_chains * (n_warmup + n_samples)
+    return {
+        "device": str(jax.devices()[0]),
+        "n_chains": n_chains,
+        "n_train": n,
+        "seconds": round(secs, 3),
+        "samples_per_s_per_chip": round(total / secs, 1),
+        "accept_rate": round(float(stats["accept_rate"]), 3),
+    }
 
 
 if __name__ == "__main__":
