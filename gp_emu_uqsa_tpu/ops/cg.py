@@ -1,0 +1,153 @@
+"""Matrix-free kernel matvecs + batched conjugate gradients.
+
+Beyond-reference capability (GPyTorch-style "blackbox matrix-matrix"
+inference, PAPERS.md): at n = 64k the correlation matrix is 16 GB fp32 and
+cannot be materialized, but A @ v only needs (chunk, n) correlation blocks
+built on the fly — O(n) memory, O(n^2 d) FLOPs, all MXU GEMMs. Combined
+with batched CG this gives solves A^-1 B without any factorization, which
+unlocks mean-serving and GLS estimation far past the Cholesky memory wall.
+
+Two matvec backends:
+  * XLA chunked (`make_corr_matvec`): lax.map over row chunks; runs on any
+    backend, used by tests;
+  * the fused Pallas kernel (`ops/serve.corr_matvec_pallas`) computes the
+    same contraction with the correlation tile kept in VMEM — plug it in as
+    `matvec=lambda v: corr_matvec_pallas(x, x, delta, v) + shift * v` on TPU.
+
+No logdet here: iterative NLL (stochastic Lanczos quadrature) is out of
+scope; the matrix-free path serves fixed hyperparameters (fit them on a
+subset or with the factorized path).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from gp_emu_uqsa_tpu.kernels import GPParams, gaussian_corr
+
+
+def make_corr_matvec(x, params: GPParams, *, noise_diag=None,
+                     chunk: int = 4096):
+    """Matvec closure v -> (C(x,x) + (nugget + noise) I) v, O(chunk*n) memory.
+
+    v may be (n,) or (n, k). Row chunks of the correlation matrix are built
+    on the fly inside lax.map (compiled loop, no host round-trips).
+    """
+    x = jnp.asarray(x)
+    n = x.shape[0]
+    nugget = jnp.exp(params.log_nugget)
+    shift = nugget if noise_diag is None else nugget + jnp.asarray(noise_diag)
+    n_chunks = -(-n // chunk)
+    n_pad = n_chunks * chunk
+    x_rows = jnp.pad(x, ((0, n_pad - n), (0, 0))).reshape(n_chunks, chunk, -1)
+
+    def matvec(v):
+        squeeze = v.ndim == 1
+        vv = v[:, None] if squeeze else v
+
+        def one(x_chunk):
+            c = gaussian_corr(x_chunk, x, params)      # (chunk, n)
+            return c @ vv
+
+        av = lax.map(one, x_rows).reshape(n_pad, vv.shape[1])[:n]
+        av = av + shift[:, None] * vv if shift.ndim else av + shift * vv
+        return av[:, 0] if squeeze else av
+
+    return matvec
+
+
+@partial(jax.jit, static_argnames=("matvec", "maxiter"))
+def cg_solve(matvec, b, *, tol: float = 1e-6, maxiter: int = 256):
+    """Batched conjugate gradients: solve A X = B column-independently.
+
+    b: (n,) or (n, k). Stops when every column's relative residual is below
+    tol (checked inside one lax.while_loop) or at maxiter. Returns
+    (x, info) with info = {"iters", "rel_resid" (k,)}.
+    """
+    squeeze = b.ndim == 1
+    bb = b[:, None] if squeeze else b
+    bnorm = jnp.maximum(jnp.linalg.norm(bb, axis=0), 1e-30)   # (k,)
+
+    x0 = jnp.zeros_like(bb)
+    r0 = bb - matvec(x0)
+    p0 = r0
+    rs0 = jnp.sum(r0 * r0, axis=0)                            # (k,)
+
+    def cond(s):
+        i, _, r, _, rs = s
+        return jnp.logical_and(
+            i < maxiter,
+            jnp.any(jnp.sqrt(rs) / bnorm > tol),
+        )
+
+    def body(s):
+        i, x, r, p, rs = s
+        ap = matvec(p)
+        denom = jnp.sum(p * ap, axis=0)
+        alpha = jnp.where(denom > 0, rs / jnp.maximum(denom, 1e-30), 0.0)
+        x = x + alpha * p
+        r = r - alpha * ap
+        rs_new = jnp.sum(r * r, axis=0)
+        beta = rs_new / jnp.maximum(rs, 1e-30)
+        p = r + beta * p
+        return i + 1, x, r, p, rs_new
+
+    i, x, r, p, rs = lax.while_loop(cond, body, (jnp.asarray(0), x0, r0, p0, rs0))
+    info = {"iters": i, "rel_resid": jnp.sqrt(rs) / bnorm}
+    return (x[:, 0] if squeeze else x), info
+
+
+def fit_matrix_free(params: GPParams, x, y, h, *, noise_diag=None,
+                    chunk: int = 4096, tol: float = 1e-6, maxiter: int = 512):
+    """Factorization-free GP 'fit' at fixed hyperparameters.
+
+    Computes via CG: A^-1 [y | H], GLS beta, the serving weights
+    e = A^-1 (y - H beta), and the MUCM sigma2-hat — everything the
+    mean-serving path needs, with A never materialized. No logdet, so no
+    NLL: use the factorized paths (gp.fit / parallel.fit_large) to CHOOSE
+    hyperparameters, this to APPLY them at scales past the Cholesky wall.
+
+    Returns dict(beta, e, sigma2, g, info).
+    """
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    h = jnp.asarray(h)
+    n, q = h.shape
+    matvec = make_corr_matvec(x, params, noise_diag=noise_diag, chunk=chunk)
+    rhs = jnp.concatenate([y[:, None], h], axis=1)
+    sol, info = cg_solve(matvec, rhs, tol=tol, maxiter=maxiter)
+    ainv_y, ainv_h = sol[:, 0], sol[:, 1:]
+    g = h.T @ ainv_h
+    g = 0.5 * (g + g.T)
+    beta = jnp.linalg.solve(g, h.T @ ainv_y)
+    e = ainv_y - ainv_h @ beta
+    resid = jnp.maximum(y @ e, 0.0)      # y^T A^-1 (y - H beta) = e-form
+    sigma2 = resid / (n - q - 2)
+    return {"beta": beta, "e": e, "sigma2": sigma2, "g": g, "info": info,
+            "ainv_h": ainv_h}
+
+
+def predict_mean_matrix_free(fit: dict, x, xstar, hstar, params: GPParams,
+                             *, chunk: int = 65536):
+    """Posterior mean at xstar from a fit_matrix_free result.
+
+    Streams (chunk, n) cross-correlation blocks; on TPU prefer
+    ops.serve.corr_matvec_pallas for the fused version of the same
+    contraction.
+    """
+    x = jnp.asarray(x)
+    xstar = jnp.asarray(xstar)
+    hstar = jnp.asarray(hstar)
+    m = xstar.shape[0]
+    n_chunks = -(-m // chunk)
+    m_pad = n_chunks * chunk
+    xs = jnp.pad(xstar, ((0, m_pad - m), (0, 0))).reshape(n_chunks, chunk, -1)
+
+    def one(xc):
+        return gaussian_corr(xc, x, params) @ fit["e"]
+
+    ce = lax.map(one, xs).reshape(m_pad)[:m]
+    return hstar @ fit["beta"] + ce
