@@ -12,9 +12,14 @@ Implementation notes:
     data GP (closed-form LOO from one factorization, gp.loo_diagnostics) —
     the reference's repeated-posterior-draw estimator with the MC noise
     removed;
-  * the noise GP is fit to log residual variances (log keeps positivity and
-    tames the chi^2_1 skew); its posterior mean (plus half its variance,
-    the lognormal correction) gives the smoothed noise surface;
+  * the noise GP is fit to log squared LOO residuals, which are
+    log(total LOO variance) + log chi^2_1 noise; two bias corrections make
+    the estimator consistent: (a) the chi^2_1 log-moment offset
+    E[log chi^2_1] = psi(1/2) + log 2 ~= -1.27036 is added back, and
+    (b) the epistemic (latent) share of the LOO variance is subtracted in
+    variance space, leaving the pointwise NOISE variance. Without (a) the
+    level is biased low by a factor ~e^-1.27; without (b) it is biased high
+    where the emulator itself is uncertain;
   * the data GP is refit in gp4ml mode with `noise_diag` = smoothed noise /
     sigma2 (correlation units), per-point.
 Both GPs train via the vmapped multi-restart L-BFGS engine, so one noisefit
@@ -29,6 +34,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
+from scipy import special
 
 from gp_emu_uqsa_tpu import gp
 from gp_emu_uqsa_tpu.basis import basis_matrix, linear_basis
@@ -92,15 +98,26 @@ def noisefit_arrays(
         data_params, _ = mle_fit(k1, xj, yj, h, data_cfg, noise_diag=noise_diag)
         data_state = gp.fit(data_params, xj, yj, h, mode="gp4ml",
                             noise_diag=noise_diag)
-        # LOO residual variance estimates
+        # LOO residual variance estimates: E[r_i^2] = loo_var_i (TOTAL
+        # held-out variance: latent + noise, y units)
         loo_mean, loo_var = gp.loo_diagnostics(data_state, xj, h, yj)
         sq_resid = np.maximum(np.asarray((yj - loo_mean) ** 2), 1e-12)
-        z = jnp.asarray(np.log(sq_resid))
-        # noise GP on log residual variance
+        # chi^2_1 log-moment correction: E[log r^2] = log total + psi(1/2)+log2
+        chi2_offset = float(special.digamma(0.5) + np.log(2.0))   # ~ -1.27036
+        z = jnp.asarray(np.log(sq_resid) - chi2_offset)
+        # noise GP smooths log TOTAL variance over x
         noise_params, _ = mle_fit(k2, xj, z, h, noise_cfg)
         noise_state = gp.fit(noise_params, xj, z, h, mode="gp4ml")
         z_mean, z_var = gp.predict(noise_state, xj, h, xj, h)
-        new_log_r = np.asarray(z_mean + 0.5 * z_var)   # lognormal mean corr.
+        est_total = np.exp(np.asarray(z_mean + 0.5 * z_var))  # lognormal corr.
+        # subtract the epistemic (latent) share of the LOO variance: what is
+        # left is the pointwise noise. Current-model noise in y units:
+        sigma2 = float(data_state.sigma2)
+        nug = float(np.exp(data_params.log_nugget))
+        cur_noise = sigma2 * (nug + (np.asarray(noise_diag)
+                                     if noise_diag is not None else 0.0))
+        latent = np.maximum(np.asarray(loo_var) - cur_noise, 0.0)
+        new_log_r = np.log(np.maximum(est_total - latent, 1e-12))
         if log_r is not None:
             delta = float(np.mean(np.abs(new_log_r - log_r)))
             history.append(delta)
@@ -110,6 +127,12 @@ def noisefit_arrays(
                 log_r = new_log_r
                 break
         log_r = new_log_r
+
+    # export GP over log NOISE (the in-loop noise GP smooths log TOTAL
+    # variance); predict_noise() queries this one
+    key, k3 = jax.random.split(key)
+    noise_params, _ = mle_fit(k3, xj, jnp.asarray(log_r), h, noise_cfg)
+    noise_state = gp.fit(noise_params, xj, jnp.asarray(log_r), h, mode="gp4ml")
 
     return NoiseFitResult(
         data_params, data_state, noise_params, noise_state,
