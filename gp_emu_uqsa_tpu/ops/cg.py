@@ -59,45 +59,112 @@ def make_corr_matvec(x, params: GPParams, *, noise_diag=None,
     return matvec
 
 
-@partial(jax.jit, static_argnames=("matvec", "maxiter"))
-def cg_solve(matvec, b, *, tol: float = 1e-6, maxiter: int = 256):
-    """Batched conjugate gradients: solve A X = B column-independently.
+@partial(jax.jit, static_argnames=("matvec", "maxiter", "precond"))
+def cg_solve(matvec, b, *, tol: float = 1e-6, maxiter: int = 256,
+             precond=None):
+    """Batched (preconditioned) conjugate gradients, column-independent.
 
-    b: (n,) or (n, k). Stops when every column's relative residual is below
-    tol (checked inside one lax.while_loop) or at maxiter. Returns
-    (x, info) with info = {"iters", "rel_resid" (k,)}.
+    b: (n,) or (n, k). `precond`, if given, applies M^-1 (e.g. from
+    `pivoted_chol_precond`). Stops when every column's relative residual
+    is below tol (checked inside one lax.while_loop) or at maxiter.
+    Returns (x, info) with info = {"iters", "rel_resid" (k,)}.
     """
     squeeze = b.ndim == 1
     bb = b[:, None] if squeeze else b
     bnorm = jnp.maximum(jnp.linalg.norm(bb, axis=0), 1e-30)   # (k,)
+    apply_m = precond if precond is not None else (lambda v: v)
 
     x0 = jnp.zeros_like(bb)
     r0 = bb - matvec(x0)
-    p0 = r0
-    rs0 = jnp.sum(r0 * r0, axis=0)                            # (k,)
+    z0 = apply_m(r0)
+    p0 = z0
+    rz0 = jnp.sum(r0 * z0, axis=0)                            # (k,)
+    rs0 = jnp.sum(r0 * r0, axis=0)
 
     def cond(s):
-        i, _, r, _, rs = s
+        i, _, r, _, rz, rs = s
         return jnp.logical_and(
             i < maxiter,
             jnp.any(jnp.sqrt(rs) / bnorm > tol),
         )
 
     def body(s):
-        i, x, r, p, rs = s
+        i, x, r, p, rz, rs = s
         ap = matvec(p)
         denom = jnp.sum(p * ap, axis=0)
-        alpha = jnp.where(denom > 0, rs / jnp.maximum(denom, 1e-30), 0.0)
+        alpha = jnp.where(denom > 0, rz / jnp.maximum(denom, 1e-30), 0.0)
         x = x + alpha * p
         r = r - alpha * ap
-        rs_new = jnp.sum(r * r, axis=0)
-        beta = rs_new / jnp.maximum(rs, 1e-30)
-        p = r + beta * p
-        return i + 1, x, r, p, rs_new
+        z = apply_m(r)
+        rz_new = jnp.sum(r * z, axis=0)
+        beta = rz_new / jnp.maximum(rz, 1e-30)
+        p = z + beta * p
+        return i + 1, x, r, p, rz_new, jnp.sum(r * r, axis=0)
 
-    i, x, r, p, rs = lax.while_loop(cond, body, (jnp.asarray(0), x0, r0, p0, rs0))
+    i, x, r, p, rz, rs = lax.while_loop(
+        cond, body, (jnp.asarray(0), x0, r0, p0, rz0, rs0)
+    )
     info = {"iters": i, "rel_resid": jnp.sqrt(rs) / bnorm}
     return (x[:, 0] if squeeze else x), info
+
+
+def pivoted_cholesky(x, params: GPParams, rank: int):
+    """Rank-r pivoted (partial) Cholesky of the correlation matrix.
+
+    Greedy max-residual-diagonal pivoting; each step touches one
+    correlation COLUMN built on the fly — O(n r (d + r)) total, no n^2
+    object. Returns (l (n, rank), pivots (rank,)). This is the GPyTorch
+    preconditioner construction for CG on kernel systems.
+    """
+    x = jnp.asarray(x)
+    n = x.shape[0]
+    dtype = x.dtype
+
+    def body(j, s):
+        l, diag_res, pivots = s
+        i_star = jnp.argmax(diag_res)
+        col = gaussian_corr(x, x[i_star][None, :], params)[:, 0]   # (n,)
+        proj = l @ l[i_star]                                       # (n,)
+        d_star = jnp.maximum(diag_res[i_star], 1e-30)
+        l_new = (col - proj) / jnp.sqrt(d_star)
+        # numerically clean: the pivot row of the residual must vanish
+        l = l.at[:, j].set(l_new)
+        diag_res = jnp.maximum(diag_res - l_new * l_new, 0.0)
+        diag_res = diag_res.at[i_star].set(0.0)
+        return l, diag_res, pivots.at[j].set(i_star.astype(jnp.int32))
+
+    l0 = jnp.zeros((n, rank), dtype)
+    diag0 = jnp.ones((n,), dtype)       # corr(x_i, x_i) = 1
+    piv0 = jnp.zeros((rank,), jnp.int32)
+    l, _, pivots = lax.fori_loop(0, rank, body, (l0, diag0, piv0))
+    return l, pivots
+
+
+def pivoted_chol_precond(x, params: GPParams, rank: int = 64,
+                         *, noise_diag=None):
+    """M^-1 closure for cg_solve, M = L_r L_r^T + (nugget + noise) I.
+
+    Woodbury: M^-1 v = D^-1 v - D^-1 L (I + L^T D^-1 L)^-1 L^T D^-1 v
+    with D the diagonal shift — O(n r) per apply after an O(n r^2) setup.
+    """
+    l, _ = pivoted_cholesky(x, params, rank)
+    nugget = jnp.exp(params.log_nugget)
+    d = nugget if noise_diag is None else nugget + jnp.asarray(noise_diag)
+    d = jnp.broadcast_to(jnp.asarray(d), (l.shape[0],))
+    dinv_l = l / d[:, None]                                   # (n, r)
+    small = jnp.eye(rank, dtype=l.dtype) + l.T @ dinv_l       # (r, r)
+    small_chol = jnp.linalg.cholesky(small)
+
+    def apply_m(v):
+        squeeze = v.ndim == 1
+        vv = v[:, None] if squeeze else v
+        dv = vv / d[:, None]
+        t = dinv_l.T @ vv                                     # (r, k)
+        t = jax.scipy.linalg.cho_solve((small_chol, True), t)
+        out = dv - dinv_l @ t
+        return out[:, 0] if squeeze else out
+
+    return apply_m
 
 
 def fit_matrix_free(params: GPParams, x, y, h, *, noise_diag=None,

@@ -45,6 +45,32 @@ def test_cg_solves_spd_system():
     assert float(jnp.max(info["rel_resid"])) < 1e-9
 
 
+def test_pivoted_cholesky_preconditioner_cuts_iterations():
+    from gp_emu_uqsa_tpu.ops.cg import pivoted_chol_precond, pivoted_cholesky
+
+    rng = np.random.default_rng(5)
+    n, d = 300, 2
+    x = jnp.asarray(rng.uniform(size=(n, d)))
+    p = make_params(np.full(d, 0.6), nugget=1e-4, dtype=jnp.float64)
+    a = gaussian_corr_self(x, p)
+    b = jnp.asarray(rng.standard_normal((n, 2)))
+    mv = make_corr_matvec(x, p, chunk=128)
+
+    sol0, info0 = cg_solve(mv, b, tol=1e-8, maxiter=3000)
+    apply_m = pivoted_chol_precond(x, p, rank=48)
+    sol1, info1 = cg_solve(mv, b, tol=1e-8, maxiter=3000, precond=apply_m)
+    # both solve the system
+    np.testing.assert_allclose(np.asarray(a @ sol1), np.asarray(b),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sol0), np.asarray(sol1),
+                               rtol=1e-4, atol=1e-6)
+    assert int(info1["iters"]) < int(info0["iters"]) / 2, (
+        int(info0["iters"]), int(info1["iters"]))
+    # the partial factor reproduces the kernel's dominant range
+    l, piv = pivoted_cholesky(x, p, rank=48)
+    assert np.unique(np.asarray(piv)).size == 48
+
+
 def test_fit_matrix_free_matches_factorized():
     x, y, h, p, spec = _problem()
     ff = fit_matrix_free(p, x, y, h, tol=1e-12, maxiter=4000)
