@@ -31,7 +31,9 @@ import jax.numpy as jnp
 from jax import lax
 
 from gp_emu_uqsa_tpu.kernels import GPParams, gaussian_corr
-from gp_emu_uqsa_tpu.ops.cg import cg_solve, make_corr_matvec
+from gp_emu_uqsa_tpu.ops.cg import (
+    cg_solve, make_corr_matvec, pivoted_chol_precond,
+)
 from gp_emu_uqsa_tpu.ops.slq import slq_logdet
 
 
@@ -42,6 +44,7 @@ class MFConfig:
     cg_tol: float = 1e-8
     cg_maxiter: int = 512
     chunk: int = 1024
+    precond_rank: int = 0        # >0: pivoted-Cholesky PCG (ops/cg.py)
 
 
 def nll_and_grad_matrix_free(params: GPParams, x, y, h, key,
@@ -65,8 +68,10 @@ def nll_and_grad_matrix_free(params: GPParams, x, y, h, key,
     kz, kl = jax.random.split(key)
     z = jax.random.rademacher(kz, (n, cfg.num_probes), dtype=dtype)
     rhs = jnp.concatenate([y[:, None], h, z], axis=1)
+    precond = (pivoted_chol_precond(x, params, rank=cfg.precond_rank)
+               if cfg.precond_rank > 0 else None)
     sol, cg_info = cg_solve(matvec, rhs, tol=cfg.cg_tol,
-                            maxiter=cfg.cg_maxiter)
+                            maxiter=cfg.cg_maxiter, precond=precond)
     ainv_y, ainv_h, wz = sol[:, 0], sol[:, 1 : 1 + q], sol[:, 1 + q :]
 
     g = h.T @ ainv_h

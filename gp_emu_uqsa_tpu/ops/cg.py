@@ -168,7 +168,8 @@ def pivoted_chol_precond(x, params: GPParams, rank: int = 64,
 
 
 def fit_matrix_free(params: GPParams, x, y, h, *, noise_diag=None,
-                    chunk: int = 4096, tol: float = 1e-6, maxiter: int = 512):
+                    chunk: int = 4096, tol: float = 1e-6, maxiter: int = 512,
+                    precond_rank: int = 0):
     """Factorization-free GP 'fit' at fixed hyperparameters.
 
     Computes via CG: A^-1 [y | H], GLS beta, the serving weights
@@ -185,7 +186,11 @@ def fit_matrix_free(params: GPParams, x, y, h, *, noise_diag=None,
     n, q = h.shape
     matvec = make_corr_matvec(x, params, noise_diag=noise_diag, chunk=chunk)
     rhs = jnp.concatenate([y[:, None], h], axis=1)
-    sol, info = cg_solve(matvec, rhs, tol=tol, maxiter=maxiter)
+    precond = (pivoted_chol_precond(x, params, rank=precond_rank,
+                                    noise_diag=noise_diag)
+               if precond_rank > 0 else None)
+    sol, info = cg_solve(matvec, rhs, tol=tol, maxiter=maxiter,
+                         precond=precond)
     ainv_y, ainv_h = sol[:, 0], sol[:, 1:]
     g = h.T @ ainv_h
     g = 0.5 * (g + g.T)
