@@ -32,9 +32,9 @@ from jax import lax
 
 from gp_emu_uqsa_tpu.kernels import GPParams, gaussian_corr
 from gp_emu_uqsa_tpu.ops.cg import (
-    cg_solve, make_corr_matvec, pivoted_chol_precond,
+    cg_solve, make_corr_matvec, pivoted_cholesky, woodbury_ops,
 )
-from gp_emu_uqsa_tpu.ops.slq import slq_logdet
+from gp_emu_uqsa_tpu.ops.slq import slq_logdet, slq_logdet_preconditioned
 
 
 @dataclasses.dataclass(frozen=True)
@@ -68,8 +68,13 @@ def nll_and_grad_matrix_free(params: GPParams, x, y, h, key,
     kz, kl = jax.random.split(key)
     z = jax.random.rademacher(kz, (n, cfg.num_probes), dtype=dtype)
     rhs = jnp.concatenate([y[:, None], h, z], axis=1)
-    precond = (pivoted_chol_precond(x, params, rank=cfg.precond_rank)
-               if cfg.precond_rank > 0 else None)
+    wops = None
+    precond = None
+    if cfg.precond_rank > 0:
+        l_piv, _ = pivoted_cholesky(x, params, cfg.precond_rank)
+        wops = woodbury_ops(l_piv, jnp.full((n,), jnp.exp(params.log_nugget),
+                                            dtype))
+        precond = wops["apply_minv"]
     sol, cg_info = cg_solve(matvec, rhs, tol=cfg.cg_tol,
                             maxiter=cfg.cg_maxiter, precond=precond)
     ainv_y, ainv_h, wz = sol[:, 0], sol[:, 1 : 1 + q], sol[:, 1 + q :]
@@ -83,9 +88,14 @@ def nll_and_grad_matrix_free(params: GPParams, x, y, h, key,
     dof = n - q - 2
     sigma2 = resid / dof
 
-    # ---- value: SLQ logdet ------------------------------------------------
-    logdet_a = slq_logdet(matvec, n, kl, num_probes=cfg.num_probes,
-                          k=cfg.lanczos_k, dtype=dtype)
+    # ---- value: SLQ logdet (operator-preconditioned when PCG is on) -------
+    if wops is not None:
+        logdet_a = slq_logdet_preconditioned(
+            matvec, wops, n, kl, num_probes=cfg.num_probes,
+            k=cfg.lanczos_k, dtype=dtype)
+    else:
+        logdet_a = slq_logdet(matvec, n, kl, num_probes=cfg.num_probes,
+                              k=cfg.lanczos_k, dtype=dtype)
     logdet_g = 2.0 * jnp.sum(jnp.log(jnp.maximum(jnp.diagonal(lg), 1e-30)))
     nll = 0.5 * (n - q) * jnp.log(sigma2) + 0.5 * logdet_a + 0.5 * logdet_g
 

@@ -140,6 +140,57 @@ def pivoted_cholesky(x, params: GPParams, rank: int):
     return l, pivots
 
 
+def woodbury_ops(l, d):
+    """Factored operators for M = L L^T + diag(d)  (preconditioner algebra).
+
+    Writing M = D^1/2 (I + W W^T) D^1/2 with W = D^-1/2 L, and
+    W^T W = V diag(s) V^T (r x r eigh), any power of (I + W W^T) is
+    I + W V diag((1+s)^a - 1)/s V^T W^T — identity off range(W). Returns:
+
+      apply_minv(v)   : M^-1 v                      (Woodbury)
+      apply_binv(v)   : B^-1 v,  B = D^1/2 (I+WW^T)^1/2  (so B B^T = M)
+      apply_binv_t(v) : B^-T v
+      logdet_m        : log|M| = sum log d + sum log(1+s)
+
+    B^-1 A B^-T is SPD and similar to M^-1 A — the operator preconditioned
+    SLQ runs Lanczos on. All applies are O(n r).
+    """
+    d = jnp.asarray(d)
+    rank = l.shape[1]
+    sqrt_d = jnp.sqrt(d)
+    w = l / sqrt_d[:, None]
+    s, v = jnp.linalg.eigh(w.T @ w)                  # (r,), (r, r)
+    s = jnp.maximum(s, 0.0)
+    logdet_m = jnp.sum(jnp.log(d)) + jnp.sum(jnp.log1p(s))
+
+    def _pow_apply(vv, a):
+        # (I + W W^T)^a vv
+        coef = (jnp.power(1.0 + s, a) - 1.0) / jnp.maximum(s, 1e-30)
+        t = v.T @ (w.T @ vv)                         # (r, k)
+        return vv + w @ (v @ (coef[:, None] * t))
+
+    def apply_minv(vv):
+        squeeze = vv.ndim == 1
+        u = vv[:, None] if squeeze else vv
+        out = _pow_apply(u / sqrt_d[:, None], -1.0) / sqrt_d[:, None]
+        return out[:, 0] if squeeze else out
+
+    def apply_binv(vv):
+        squeeze = vv.ndim == 1
+        u = vv[:, None] if squeeze else vv
+        out = _pow_apply(u / sqrt_d[:, None], -0.5)
+        return out[:, 0] if squeeze else out
+
+    def apply_binv_t(vv):
+        squeeze = vv.ndim == 1
+        u = vv[:, None] if squeeze else vv
+        out = _pow_apply(u, -0.5) / sqrt_d[:, None]
+        return out[:, 0] if squeeze else out
+
+    return {"apply_minv": apply_minv, "apply_binv": apply_binv,
+            "apply_binv_t": apply_binv_t, "logdet_m": logdet_m}
+
+
 def pivoted_chol_precond(x, params: GPParams, rank: int = 64,
                          *, noise_diag=None):
     """M^-1 closure for cg_solve, M = L_r L_r^T + (nugget + noise) I.

@@ -98,3 +98,24 @@ def slq_logdet(matvec, n: int, key, *, num_probes: int = 16, k: int = 32,
         return _logdet_quadrature(alphas, betas, jnp.sum(zi * zi))
 
     return jnp.mean(jax.vmap(one)(z))
+
+
+def slq_logdet_preconditioned(matvec, wops: dict, n: int, key, *,
+                              num_probes: int = 16, k: int = 32,
+                              dtype=jnp.float64):
+    """log|A| = log|M| (exact) + SLQ estimate of log|B^-1 A B^-T|.
+
+    wops comes from ops.cg.woodbury_ops on a pivoted-Cholesky
+    preconditioner M = L L^T + shift I with B B^T = M. The residual
+    operator B^-1 A B^-T has its dominant spectrum compressed toward 1,
+    so both the Lanczos quadrature bias (small k suffices) and the probe
+    variance drop sharply vs plain SLQ at small nuggets.
+    """
+    binv, binv_t = wops["apply_binv"], wops["apply_binv_t"]
+
+    def mv_bar(v):
+        return binv(matvec(binv_t(v)))
+
+    return wops["logdet_m"] + slq_logdet(
+        mv_bar, n, key, num_probes=num_probes, k=k, dtype=dtype
+    )

@@ -54,6 +54,19 @@ def test_matrix_free_nll_and_grad_match_exact():
     assert float(jnp.max(aux["cg_info"]["rel_resid"])) < 1e-8
 
 
+def test_preconditioned_nll_matches_exact():
+    x, y, h = _problem()
+    p = make_params(np.array([0.7, 0.9]), nugget=1e-4, dtype=jnp.float64)
+    val = float(gp.nll_mucm(p, x, y, h))
+    cfg = MFConfig(num_probes=16, lanczos_k=32, cg_tol=1e-9,
+                   cg_maxiter=2000, chunk=64, precond_rank=48)
+    nll, g, aux = nll_and_grad_matrix_free(p, x, y, h, jax.random.key(2), cfg)
+    # small-nugget regime: PCG converges fast AND the preconditioned SLQ
+    # keeps the value tight where plain SLQ drifts ~1-2%
+    assert abs(float(nll) - val) / abs(val) < 0.01, (float(nll), val)
+    assert int(aux["cg_info"]["iters"]) < 200
+
+
 def test_matrix_free_mle_approaches_exact_optimum():
     from gp_emu_uqsa_tpu.inference import MLEConfig, mle_fit
 
