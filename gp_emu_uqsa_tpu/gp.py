@@ -76,8 +76,11 @@ def _common(params: GPParams, x, y, h, noise_diag=None, ladder=True):
     else:
         l = lax.linalg.cholesky(a, symmetrize_input=False)
         jitter = jnp.asarray(0.0, a.dtype)
-    linv_y = tri_solve(l, y[:, None])[:, 0]          # L^-1 y
-    linv_h = tri_solve(l, h)                         # L^-1 H
+    # one multi-RHS TRSM for [y | H]: skinny triangular solves on TPU are
+    # latency-bound, so batching RHS is ~free (measured in fit_total)
+    linv_yh = tri_solve(l, jnp.concatenate([y[:, None], h], axis=1))
+    linv_y = linv_yh[:, 0]                           # L^-1 y
+    linv_h = linv_yh[:, 1:]                          # L^-1 H
     g = linv_h.T @ linv_h                            # H^T A^-1 H
     q = h.shape[1]
     lg = jax.lax.linalg.cholesky(
@@ -229,9 +232,15 @@ def fit(params: GPParams, x, y, h, *, mode: str = "mucm",
     else:
         sigma2 = params.sigma2
         nll_val = 0.5 * (resid / sigma2 + n * jnp.log(sigma2) + logdet_a + n * _LOG2PI)
-    # e = A^-1 (y - H beta) = L^-T (L^-1 y - L^-1 H beta)
-    e = tri_solve(l, (linv_y - linv_h @ beta)[:, None], trans=True)[:, 0]
-    ainv_h = tri_solve(l, linv_h, trans=True)
+    # e = A^-1 (y - H beta) = L^-T (L^-1 y - L^-1 H beta); fused with the
+    # A^-1 H backward solve (one multi-RHS TRSM, see _common)
+    back = tri_solve(
+        l,
+        jnp.concatenate([(linv_y - linv_h @ beta)[:, None], linv_h], axis=1),
+        trans=True,
+    )
+    e = back[:, 0]
+    ainv_h = back[:, 1:]
     return FitState(params, l, lg, beta, e, sigma2, ainv_h, jitter, _guard(nll_val))
 
 

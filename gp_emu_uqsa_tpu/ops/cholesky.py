@@ -61,18 +61,52 @@ def cholesky_with_jitter(
     """Lower Cholesky factor of `a` (+ jitter*I as needed).
 
     Returns (L, jitter_used). If `a` is factorizable as-is (the common case
-    when the nugget is healthy) no jitter is added. On total failure the
-    factor is NaN and downstream NLL evaluations see +inf via nan-guards.
-    Differentiable: the jitter search runs under stop_gradient, the returned
-    factor is one plain `lax.linalg.cholesky` call.
+    when the nugget is healthy) no jitter is added and the matrix is
+    factorized exactly ONCE — the ladder search only runs inside a
+    lax.cond branch taken on NaN (measured: the old always-search version
+    doubled the factorization cost of every healthy gp.fit). On total
+    failure the factor is NaN and downstream NLL evaluations see +inf via
+    nan-guards. Differentiable: the search runs under stop_gradient; the
+    returned factor is a plain `lax.linalg.cholesky` value.
     """
     n = a.shape[-1]
-    jit_used = _find_jitter(
-        lax.stop_gradient(a), initial_jitter, growth, max_tries
-    )
     eye = jnp.eye(n, dtype=a.dtype)
-    l = lax.linalg.cholesky(a + jit_used * eye, symmetrize_input=False)
-    return l, jit_used
+    init = jnp.asarray(initial_jitter, dtype=a.dtype)
+    l0 = lax.linalg.cholesky(a + init * eye, symmetrize_input=False)
+    healthy = jnp.logical_not(jnp.any(jnp.isnan(l0)))
+
+    # zero-tangent wrapper: the ladder's while_loop must be opaque to
+    # autodiff (reverse mode cannot transpose a dynamic while_loop, even
+    # inside an untaken cond branch)
+    @partial(jax.custom_jvp, nondiff_argnums=(2, 3))
+    def _ladder(a_in, first, growth_, tries_):
+        return _find_jitter(a_in, first, growth_, tries_)
+
+    @_ladder.defjvp
+    def _ladder_jvp(growth_, tries_, primals, tangents):
+        out = _ladder(*primals, growth_, tries_)
+        return out, jnp.zeros_like(out)
+
+    def fallback(_):
+        base = jnp.mean(jnp.diagonal(a, axis1=-2, axis2=-1), axis=-1)
+        eps = jnp.asarray(
+            1e-12 if a.dtype == jnp.float64 else 1e-6, dtype=a.dtype
+        )
+        first = jnp.where(init == 0.0, base * eps,
+                          init * jnp.asarray(growth, a.dtype))
+        jit_used = _ladder(lax.stop_gradient(a),
+                           lax.stop_gradient(first), growth, max_tries)
+        return (
+            lax.linalg.cholesky(a + jit_used * eye, symmetrize_input=False),
+            jit_used,
+        )
+
+    return lax.cond(
+        healthy,
+        lambda _: (l0, init),
+        fallback,
+        None,
+    )
 
 
 def blocked_cholesky(a: jax.Array, leaf: int = 512) -> jax.Array:
