@@ -64,17 +64,26 @@ def bench_jax():
     out = predict_jit(pred, x, xs, hs)
     float(out[1][-1])
 
-    t0 = time.perf_counter()
-    state = fit_jit(params, x, y, h)
-    float(state.nll)
-    fit_s = time.perf_counter() - t0
+    def timed(fn, sync, reps):
+        """Enqueue reps asynchronously, sync once, subtract the measured
+        round-trip — a per-rep sync costs one ~25 ms tunnel RTT each and
+        swamps millisecond ops on the remote backend."""
+        out = fn()
+        sync(out)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn()
+        sync(out)
+        total = time.perf_counter() - t0
+        t1 = time.perf_counter()
+        sync(out)
+        rtt = time.perf_counter() - t1
+        return max((total - rtt) / reps, 1e-9)
 
-    reps = 5
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = predict_jit(pred, x, xs, hs)
-        float(out[1][-1])
-    pred_s = (time.perf_counter() - t0) / reps
+    fit_s = timed(lambda: fit_jit(params, x, y, h),
+                  lambda o: float(o.nll), reps=5)
+    pred_s = timed(lambda: predict_jit(pred, x, xs, hs),
+                   lambda o: float(o[1][-1]), reps=8)
 
     # mean-only serving via the fused Pallas kernel (ops/serve.py): the
     # (m, n) cross-correlation block never touches HBM. TPU-only (the
@@ -86,11 +95,9 @@ def bench_jax():
         serve_jit = jax.jit(lambda pr, x, xs, hs: serve_mean_pallas(pr, x, xs, hs))
         m_out = serve_jit(pred, x, xs, hs)
         float(m_out[-1])
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            m_out = serve_jit(pred, x, xs, hs)
-            float(m_out[-1])
-        serve_pps = N_PRED / ((time.perf_counter() - t0) / reps)
+        serve_s = timed(lambda: serve_jit(pred, x, xs, hs),
+                        lambda o: float(o[-1]), reps=8)
+        serve_pps = N_PRED / serve_s
     except Exception:
         pass
     return fit_s, N_PRED / pred_s, serve_pps, str(jax.devices()[0])

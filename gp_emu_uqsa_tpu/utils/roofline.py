@@ -71,16 +71,19 @@ def measure(n: int = 4096, d: int = 8, m: int = 8192, dtype=None):
     xs = jnp.asarray(rng.uniform(size=(m, d)), dtype)
     hs = basis_matrix(xs, spec)
 
+    # NOTE: every timed fn takes explicit args — zero-arg closure jits
+    # measured ~10x slow on the remote-tunnel backend (constants are
+    # re-staged per dispatch)
     build = jax.jit(lambda x: gaussian_corr_self(x, params))
     a = build(x)
     float(a[0, 0])
     chol_xla = jax.jit(lambda a: lax.linalg.cholesky(a, symmetrize_input=False))
     chol_blk = jax.jit(lambda a: cholesky_blocked_padded(a, leaf=512))
-    fit = jax.jit(lambda: gp.fit(params, x, y, h))
-    state = fit()
+    fit = jax.jit(lambda p, x, y, h: gp.fit(p, x, y, h))
+    state = fit(params, x, y, h)
     pred = jax.jit(gp.predictor)(state)
     float(pred.sigma2)
-    predict = jax.jit(lambda: gp.predict_fast(pred, x, xs, hs))
+    predict = jax.jit(gp.predict_fast)
 
     results = {}
 
@@ -98,17 +101,32 @@ def measure(n: int = 4096, d: int = 8, m: int = 8192, dtype=None):
         n**3 / 3)
     add("cholesky_blocked", _time(lambda: chol_blk(a), lambda o: float(o[n - 1, n - 1])),
         n**3 / 3)
-    add("fit_total", _time(fit, lambda o: float(o.nll)), n**3 / 3 + 2 * n * n * d)
+    add("fit_total", _time(lambda: fit(params, x, y, h), lambda o: float(o.nll)),
+        n**3 / 3 + 2 * n * n * d)
     # dominant predict cost: the (m, n) x (n, n) A^-1 GEMM
-    add("predict_fast", _time(predict, lambda o: float(o[1][-1])),
+    add("predict_fast", _time(lambda: predict(pred, x, xs, hs),
+                              lambda o: float(o[1][-1])),
         2 * m * n * n)
+    try:
+        from gp_emu_uqsa_tpu.ops.kernel_matrix import gaussian_corr_self_pallas
+
+        delta = jnp.exp(params.log_delta)
+        build_pl = jax.jit(lambda x: gaussian_corr_self_pallas(
+            x, delta, params.nugget))
+        float(build_pl(x)[0, 0])
+        add("kernel_build_pallas", _time(lambda: build_pl(x),
+                                         lambda o: float(o[0, 0])),
+            2 * n * n * d)
+    except Exception:
+        pass
     try:
         from gp_emu_uqsa_tpu.ops.serve import serve_mean_pallas
 
-        serve = jax.jit(lambda: serve_mean_pallas(pred, x, xs, hs))
-        float(serve()[-1])
+        serve = jax.jit(serve_mean_pallas)
+        float(serve(pred, x, xs, hs)[-1])
         # fused mean path: distance GEMM + 128-wide RHS contraction
-        add("serve_mean_pallas", _time(serve, lambda o: float(o[-1])),
+        add("serve_mean_pallas", _time(lambda: serve(pred, x, xs, hs),
+                                       lambda o: float(o[-1])),
             2 * m * n * (d + 128))
     except Exception:
         pass
