@@ -36,12 +36,15 @@ def fit_large(
     block: int = 512,
     mode: str = "mucm",
     factorization: str = "recursive",
+    col_axis: str = "mc",
 ) -> gp.FitState:
     """Distributed analog of gp.fit for n too large for one chip.
 
     factorization: "recursive" (default; ~1.5x minimal FLOPs, one
-    all-gather per recursion node) or "panel" (right-looking masked
-    scheme; ~3x FLOPs but a strictly regular per-step schedule).
+    all-gather per recursion node), "panel" (right-looking masked
+    scheme; ~3x FLOPs but a strictly regular per-step schedule), or
+    "block2d" (2D block-cyclic over mesh axes (`axis`, `col_axis`);
+    per-device memory n^2/P instead of n^2/P_rows — the pod-slice path).
     """
     x = jnp.asarray(x)
     y = jnp.asarray(y)
@@ -51,7 +54,15 @@ def fit_large(
     a_sh, _ = build_corr_sharded(x, params, mesh, axis=axis)
     n_pad = a_sh.shape[0]
     blk = block if n_pad % block == 0 else n_pad // mesh.shape[axis]
-    if factorization == "recursive":
+    if factorization == "block2d":
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from gp_emu_uqsa_tpu.ops.block_cyclic import block_cyclic_cholesky
+
+        l_pad = block_cyclic_cholesky(
+            a_sh, mesh, axes=(axis, col_axis), block=blk)
+        l_pad = jax.device_put(l_pad, NamedSharding(mesh, P(axis, None)))
+    elif factorization == "recursive":
         from functools import partial
 
         from jax import lax
