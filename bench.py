@@ -14,6 +14,9 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 from __future__ import annotations
 
 import json
+import os
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -33,7 +36,42 @@ def _problem():
     return x, y.astype(np.float32), xs, delta
 
 
+def _tpu_relay_alive(timeout_s: float = 150.0) -> bool:
+    """Probe the remote-TPU relay in a SUBPROCESS with a hard timeout.
+
+    When the axon relay is down, `import jax` itself hangs in the parent
+    (sitecustomize registration), so the probe must happen in a child we
+    can kill. A tiny matmul is forced through the device to catch relays
+    that accept connections but stall on execution.
+    """
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return False
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "assert jax.devices()[0].platform != 'cpu';"
+        "x = jnp.ones((128, 128), jnp.bfloat16);"
+        "print(float((x @ x)[0, 0]))"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            timeout=timeout_s,
+            capture_output=True,
+        )
+        return r.returncode == 0
+    except (subprocess.TimeoutExpired, OSError):
+        return False
+
+
 def bench_jax():
+    if not _tpu_relay_alive():
+        # CPU fallback: drop the axon pool var BEFORE importing jax so the
+        # relay registration (which would hang) is skipped entirely.
+        os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     import jax
     import jax.numpy as jnp
 
