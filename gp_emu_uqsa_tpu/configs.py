@@ -165,12 +165,32 @@ class Beliefs:
                 b.input_minmax = ast.literal_eval(re.sub(r"\s+", " ", val))
             else:
                 b.extra[key] = val
-        if not b.kernel.lower().startswith("gaussian"):
-            raise ValueError(
-                f"unsupported kernel {b.kernel!r}: the UQSA analytics require "
-                "the Gaussian kernel (reference behavior)"
-            )
+        b.kernel_family()  # validate the kernel spec early
         return b
+
+    def kernel_family(self) -> str:
+        """Beliefs `kernel` line -> correlation-family name (kernels.py).
+
+        The reference only supports `gaussian()`; matern/exponential are a
+        capability extension (UQSA analytics still require gaussian and the
+        sensitivity setup enforces that separately).
+        """
+        name = self.kernel.strip().lower().rstrip("()")
+        aliases = {
+            "gaussian": "gaussian",
+            "squared_exponential": "gaussian",
+            "matern52": "matern52",
+            "matern_5_2": "matern52",
+            "matern32": "matern32",
+            "matern_3_2": "matern32",
+            "exponential": "exponential",
+        }
+        if name not in aliases:
+            raise ValueError(
+                f"unsupported kernel {self.kernel!r}: expected one of "
+                f"{sorted(set(aliases))}"
+            )
+        return aliases[name]
 
     def to_file(self, path) -> None:
         lines = [

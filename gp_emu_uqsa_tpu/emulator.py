@@ -83,6 +83,7 @@ class Emulator:
         shuffle=True,
         scale_inputs=True,
         mode="mucm",
+        kernel="gaussian",
         tries=8,
         nugget=_MIN_NUGGET,
         train_nugget=False,
@@ -102,6 +103,7 @@ class Emulator:
         spec = basis if basis is not None else linear_basis(d)
         mle = MLEConfig(
             mode=mode,
+            family=kernel,
             tries=tries,
             nugget=max(nugget, _MIN_NUGGET),
             train_nugget=train_nugget,
@@ -138,7 +140,8 @@ class Emulator:
             key = jax.random.key(self.seed + self.n_folded)
         x, y, h = self.train_view()
         self.params, info = mle_fit(key, x, y, h, self.mle_config)
-        self.state = gp.fit(self.params, x, y, h, mode=self.mle_config.mode)
+        self.state = gp.fit(self.params, x, y, h, mode=self.mle_config.mode,
+                            family=self.mle_config.family)
         if message:
             nlls = np.asarray(info["nlls"])
             print(
@@ -153,7 +156,8 @@ class Emulator:
         """Reference V-set diagnostics for validation set k."""
         x, y, h = self.train_view()
         xv, yv, hv = self.valid_view(k)
-        diag = gp.validate(self.state, x, h, xv, hv, yv)
+        diag = gp.validate(self.state, x, h, xv, hv, yv,
+                           family=self.mle_config.family)
         if message:
             se = np.asarray(diag["std_err"])
             print(
@@ -192,7 +196,8 @@ class Emulator:
         x, y, h = self.train_view()
         xs, hs = self._prepare_inputs(x_new)
         mean, var = gp.predict(
-            self.state, x, h, xs, hs, full_cov=full_cov, include_nugget=include_nugget
+            self.state, x, h, xs, hs, full_cov=full_cov,
+            include_nugget=include_nugget, family=self.mle_config.family,
         )
         if self.fixed_beta is not None:
             hraw = basis_matrix(xs, self.spec)
@@ -343,6 +348,7 @@ def setup(
     nb = _bounds_pair(cfg.nugget_bounds, 1)
     mle = MLEConfig(
         mode="mucm" if bel.mucm else "gp4ml",
+        family=bel.kernel_family(),
         tries=cfg.tries,
         nugget=max(bel.nugget, _MIN_NUGGET),
         train_nugget=not bel.fix_nugget,

@@ -33,7 +33,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from gp_emu_uqsa_tpu.kernels import GPParams, gaussian_corr, gaussian_corr_self
+from gp_emu_uqsa_tpu.kernels import GPParams, corr, corr_self, gaussian_corr_self
 from gp_emu_uqsa_tpu.ops.cholesky import cholesky_with_jitter, tri_solve
 
 _LOG2PI = 1.8378770664093453
@@ -56,7 +56,8 @@ class FitState(NamedTuple):
     nll: jax.Array        # ()     NLL at these params
 
 
-def _common(params: GPParams, x, y, h, noise_diag=None, ladder=True):
+def _common(params: GPParams, x, y, h, noise_diag=None, ladder=True,
+            family: str = "gaussian"):
     """Shared pipeline: factorize A, whiten y and H, GLS beta, residual.
 
     Returns everything both likelihood modes and the fit state need.
@@ -68,7 +69,7 @@ def _common(params: GPParams, x, y, h, noise_diag=None, ladder=True):
     its cond) makes the SPMD partitioner pathologically slow — and fine for
     samplers, which reject non-finite energies anyway.
     """
-    a = gaussian_corr_self(x, params)
+    a = corr_self(x, params, family)
     if noise_diag is not None:
         a = a + jnp.diag(jnp.asarray(noise_diag, a.dtype))
     if ladder:
@@ -104,11 +105,11 @@ def _guard(nll: jax.Array) -> jax.Array:
 
 
 def nll_mucm_ad(params: GPParams, x, y, h, noise_diag=None,
-                ladder=True) -> jax.Array:
+                ladder=True, family: str = "gaussian") -> jax.Array:
     """Concentrated NLL via plain autodiff (reference for the custom VJP)."""
     n, q = h.shape[0], h.shape[1]
     (_, _, _, _, _, _, _, resid, logdet_a, logdet_g) = _common(
-        params, x, y, h, noise_diag, ladder
+        params, x, y, h, noise_diag, ladder, family
     )
     dof = n - q - 2
     sigma2_hat = resid / dof
@@ -183,27 +184,27 @@ _nll_mucm_cvjp.defvjp(_nll_mucm_fwd, _nll_mucm_bwd)
 
 
 def nll_mucm(params: GPParams, x, y, h, noise_diag=None,
-             ladder: bool = True) -> jax.Array:
+             ladder: bool = True, family: str = "gaussian") -> jax.Array:
     """Concentrated (MUCM) negative log-likelihood; sigma^2 profiled out.
 
     Reference: `Optimize.loglikelihood_mucm` (SURVEY.md S3/S4.2). Uses the
     analytic custom VJP (factor-reusing adjoint) on the no-noise_diag hot
     path; the heteroscedastic path falls back to autodiff.
     """
-    if noise_diag is None:
+    if noise_diag is None and family == "gaussian":
         return _nll_mucm_cvjp(params, x, y, h, ladder)
-    return nll_mucm_ad(params, x, y, h, noise_diag, ladder)
+    return nll_mucm_ad(params, x, y, h, noise_diag, ladder, family)
 
 
 def nll_gp4ml(params: GPParams, x, y, h, noise_diag=None,
-              ladder: bool = True) -> jax.Array:
+              ladder: bool = True, family: str = "gaussian") -> jax.Array:
     """Full marginal NLL with explicit sigma^2 (beta profiled via GLS).
 
     Reference: `Optimize.loglikelihood_gp4ml` (SURVEY.md S3/S4.2).
     """
     n = h.shape[0]
     (_, _, _, _, _, _, _, resid, logdet_a, _) = _common(
-        params, x, y, h, noise_diag, ladder
+        params, x, y, h, noise_diag, ladder, family
     )
     s2 = params.sigma2
     nll = 0.5 * (resid / s2 + n * jnp.log(s2) + logdet_a + n * _LOG2PI)
@@ -211,20 +212,26 @@ def nll_gp4ml(params: GPParams, x, y, h, noise_diag=None,
 
 
 def nll(params: GPParams, x, y, h, *, mode: str = "mucm",
-        noise_diag=None, ladder: bool = True) -> jax.Array:
+        noise_diag=None, ladder: bool = True,
+        family: str = "gaussian") -> jax.Array:
     if mode == "mucm":
-        return nll_mucm(params, x, y, h, noise_diag, ladder)
+        return nll_mucm(params, x, y, h, noise_diag, ladder, family)
     if mode == "gp4ml":
-        return nll_gp4ml(params, x, y, h, noise_diag, ladder)
+        return nll_gp4ml(params, x, y, h, noise_diag, ladder, family)
     raise ValueError(f"unknown likelihood mode {mode!r}")
 
 
 def fit(params: GPParams, x, y, h, *, mode: str = "mucm",
-        noise_diag=None) -> FitState:
-    """Build the posterior sufficient statistics at fixed hyperparameters."""
+        noise_diag=None, family: str = "gaussian") -> FitState:
+    """Build the posterior sufficient statistics at fixed hyperparameters.
+
+    `family` selects the correlation family (kernels.CORR_FAMILIES); it is a
+    static Python string, NOT stored in the (pytree) fit state — pass the
+    same family to predict()/validate() (the Emulator facade does this).
+    """
     n, q = h.shape[0], h.shape[1]
     (_, l, jitter, linv_y, linv_h, lg, beta, resid, logdet_a, logdet_g) = _common(
-        params, x, y, h, noise_diag
+        params, x, y, h, noise_diag, True, family
     )
     if mode == "mucm":
         sigma2 = resid / (n - q - 2)
@@ -244,9 +251,10 @@ def fit(params: GPParams, x, y, h, *, mode: str = "mucm",
     return FitState(params, l, lg, beta, e, sigma2, ainv_h, jitter, _guard(nll_val))
 
 
-def _posterior_pieces(state: FitState, x, h, xstar, hstar):
+def _posterior_pieces(state: FitState, x, h, xstar, hstar,
+                      family: str = "gaussian"):
     """Cross-correlation and whitened solves shared by mean/var paths."""
-    c_star = gaussian_corr(xstar, x, state.params)    # (m, n)
+    c_star = corr(xstar, x, state.params, family)     # (m, n)
     mean = hstar @ state.beta + c_star @ state.e
     linv_t = tri_solve(state.l, c_star.T)             # (n, m) = L^-1 t(x*)
     r = hstar - c_star @ state.ainv_h                 # (m, q) R(x*)
@@ -263,6 +271,7 @@ def predict(
     *,
     full_cov: bool = False,
     include_nugget: bool = False,
+    family: str = "gaussian",
 ):
     """Universal-kriging posterior mean and (co)variance at xstar.
 
@@ -270,10 +279,12 @@ def predict(
     already carries the n-q-2 divisor, so `var` is the Student-t predictive
     variance with n-q degrees of freedom, matching the reference.
     """
-    _, mean, linv_t, _, lg_inv_r = _posterior_pieces(state, x, h, xstar, hstar)
+    _, mean, linv_t, _, lg_inv_r = _posterior_pieces(
+        state, x, h, xstar, hstar, family
+    )
     prior_diag = 1.0 + (state.params.nugget if include_nugget else 0.0)
     if full_cov:
-        c_ss = gaussian_corr(xstar, xstar, state.params)
+        c_ss = corr(xstar, xstar, state.params, family)
         if include_nugget:
             c_ss = c_ss + state.params.nugget * jnp.eye(
                 xstar.shape[0], dtype=c_ss.dtype
@@ -324,14 +335,15 @@ def predictor(state: FitState, x=None, h=None) -> Predictor:
     )
 
 
-def predict_fast(pred: Predictor, x, xstar, hstar, *, include_nugget=False):
+def predict_fast(pred: Predictor, x, xstar, hstar, *, include_nugget=False,
+                 family: str = "gaussian"):
     """Batched posterior mean/var via GEMMs only (serving hot path).
 
     NOTE a bf16 variant of the A^-1 quadratic form was tried and removed:
     A^-1 entries scale like 1/nugget and the form cancels to O(sigma2), so
     bf16's 8-bit mantissa produces O(1) relative variance error. Keep fp32.
     """
-    c_star = gaussian_corr(xstar, x, pred.params)          # (m, n)
+    c_star = corr(xstar, x, pred.params, family)           # (m, n)
     mean = hstar @ pred.beta + c_star @ pred.e
     av = c_star @ pred.ainv                                # (m, n) GEMM
     quad_t = jnp.sum(av * c_star, axis=1)
@@ -371,13 +383,50 @@ def predict_batched(pred: Predictor, x, xstar, hstar, *, batch: int = 65536,
     return means.reshape(m_pad)[:m], variances.reshape(m_pad)[:m]
 
 
-def validate(state: FitState, x, h, xv, hv, yv):
+def sample_posterior(key, state: FitState, x, h, xstar, hstar, n_draws: int = 1,
+                     *, include_nugget: bool = False, student_t: bool = True,
+                     family: str = "gaussian"):
+    """Joint draws from the predictive distribution at xstar, shape (n_draws, m).
+
+    MUCM-mode fits have a multivariate Student-t predictive with dof = n - q
+    (SURVEY.md S7 'Student-t posterior with n-q dof'); draws use the scale-
+    mixture form  y* = mean + sqrt(dof/g) * Ls z,  z ~ N(0, I),
+    g ~ chi^2_dof, with Ls the Cholesky of the t *scale* matrix
+    Sigma_scale = cov * (dof-2)/dof (predict() returns the t covariance,
+    which already carries the n-q-2 divisor through state.sigma2).
+    `student_t=False` gives plain Gaussian draws (gp4ml-mode fits).
+
+    The reference exposes no sampling API (its plots use mean/sd bands);
+    this is a capability extension used by the Bayes and noise-fit paths.
+    """
+    mean, cov = predict(
+        state, x, h, xstar, hstar, full_cov=True,
+        include_nugget=include_nugget, family=family,
+    )
+    m = mean.shape[0]
+    n, q = state.l.shape[0], state.lg.shape[0]
+    dof = n - q
+    zkey, gkey = jax.random.split(key)
+    scale = cov * ((dof - 2.0) / dof) if student_t else cov
+    ls, _ = cholesky_with_jitter(scale)
+    z = jax.random.normal(zkey, (n_draws, m), dtype=mean.dtype)
+    colored = z @ ls.T
+    if student_t:
+        g = 2.0 * jax.random.gamma(gkey, 0.5 * dof, (n_draws, 1),
+                                   dtype=mean.dtype)
+        colored = jnp.sqrt(dof / g) * colored
+    return mean[None, :] + colored
+
+
+def validate(state: FitState, x, h, xv, hv, yv, family: str = "gaussian"):
     """Held-out validation diagnostics (reference `Posterior` diagnostics).
 
     Returns dict with standardized errors, Mahalanobis distance and its
     theoretical mean/variance under the Student-t reference distribution.
     """
-    mean, cov = predict(state, x, h, xv, hv, full_cov=True, include_nugget=True)
+    mean, cov = predict(
+        state, x, h, xv, hv, full_cov=True, include_nugget=True, family=family
+    )
     err = yv - mean
     sd = jnp.sqrt(jnp.maximum(jnp.diagonal(cov), 1e-30))
     lv, _ = cholesky_with_jitter(cov)

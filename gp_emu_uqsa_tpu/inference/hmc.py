@@ -291,7 +291,8 @@ def make_gp_logdensity(x, y, h, cfg: MLEConfig, prior_scale: float = 3.0,
         # ladder=False: the jitter-retry while_loop makes SPMD partitioning
         # of sharded-chain samplers pathologically slow, and samplers reject
         # non-finite energies anyway
-        nll_val = gp.nll(params, x, y, h, mode=cfg.mode, ladder=False)
+        nll_val = gp.nll(params, x, y, h, mode=cfg.mode, ladder=False,
+                         family=cfg.family)
         nll_val = jnp.where(jnp.isfinite(nll_val), nll_val, 1e12)
         lp = -0.5 * jnp.sum(((z - prior_mean) / prior_scale) ** 2)
         return -nll_val + lp
@@ -315,8 +316,8 @@ def predict_marginalized(z_samples, x, y, h, xs, hs, cfg: MLEConfig,
 
     def one(z):
         params = _unpack(z, cfg, d, x.dtype)
-        state = gp.fit(params, x, y, h, mode=cfg.mode)
-        return gp.predict(state, x, h, xs, hs)
+        state = gp.fit(params, x, y, h, mode=cfg.mode, family=cfg.family)
+        return gp.predict(state, x, h, xs, hs, family=cfg.family)
 
     means, variances = jax.lax.map(one, flat)
     e_mean = jnp.mean(means, axis=0)

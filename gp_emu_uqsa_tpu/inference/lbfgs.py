@@ -40,6 +40,7 @@ class MLEConfig:
     """
 
     mode: str = "mucm"                # "mucm" (sigma2 profiled) or "gp4ml"
+    family: str = "gaussian"          # correlation family (kernels.CORR_FAMILIES)
     tries: int = 8                    # restarts (reference `tries`)
     max_iters: int = 200
     tol: float = 1e-8                 # gradient-norm stop
@@ -104,7 +105,8 @@ def _make_objective(x, y, h, cfg: MLEConfig, lo, hi, noise_diag=None):
     def objective(u):
         # optax internals may promote the iterate under x64; pin the dtype
         params = _unpack(to_logspace(u.astype(dtype)), cfg, d, dtype)
-        return gp.nll(params, x, y, h, mode=cfg.mode, noise_diag=noise_diag)
+        return gp.nll(params, x, y, h, mode=cfg.mode, noise_diag=noise_diag,
+                      family=cfg.family)
 
     return objective, to_logspace, from_logspace
 

@@ -90,19 +90,81 @@ def scaled_sq_dists(x1: jax.Array, x2: jax.Array, delta: jax.Array) -> jax.Array
     return jnp.maximum(n1 + n2 - 2.0 * cross, 0.0)
 
 
-def gaussian_corr(x1: jax.Array, x2: jax.Array, params: GPParams) -> jax.Array:
+def _safe_dist(d2: jax.Array) -> jax.Array:
+    """sqrt(d2) with a zero (not NaN) gradient at d2 == 0.
+
+    Matern/exponential correlations are functions of the distance r; the
+    plain sqrt has an infinite derivative at 0, which poisons gradients on
+    the training diagonal. The double-where pattern gives r = 0 and dr = 0
+    exactly at coincident points (the correct subgradient for correlation
+    stationarity).
+    """
+    pos = d2 > 0.0
+    safe = jnp.where(pos, d2, 1.0)
+    return jnp.where(pos, jnp.sqrt(safe), 0.0)
+
+
+def _corr_gaussian(d2: jax.Array) -> jax.Array:
+    return jnp.exp(-d2)
+
+
+def _corr_matern52(d2: jax.Array) -> jax.Array:
+    s = jnp.sqrt(5.0) * _safe_dist(d2)
+    return (1.0 + s + (s * s) / 3.0) * jnp.exp(-s)
+
+
+def _corr_matern32(d2: jax.Array) -> jax.Array:
+    s = jnp.sqrt(3.0) * _safe_dist(d2)
+    return (1.0 + s) * jnp.exp(-s)
+
+
+def _corr_exponential(d2: jax.Array) -> jax.Array:
+    return jnp.exp(-_safe_dist(d2))
+
+
+# Correlation families on the delta-scaled squared distance d2 (all valid
+# (strictly PD) correlation functions; reference lineage kept a pluggable
+# kernel list in `_emulatorkernels.py`). The UQSA analytics (sensitivity/)
+# have closed forms ONLY for "gaussian" and enforce it at setup.
+CORR_FAMILIES = {
+    "gaussian": _corr_gaussian,
+    "matern52": _corr_matern52,
+    "matern32": _corr_matern32,
+    "exponential": _corr_exponential,
+}
+
+
+def corr(x1: jax.Array, x2: jax.Array, params: GPParams,
+         family: str = "gaussian") -> jax.Array:
     """Cross-correlation matrix c(x1_i, x2_j), no nugget, shape (n1, n2)."""
-    return jnp.exp(-scaled_sq_dists(x1, x2, params.delta))
+    try:
+        fn = CORR_FAMILIES[family]
+    except KeyError:
+        raise ValueError(
+            f"unknown kernel family {family!r}; one of {sorted(CORR_FAMILIES)}"
+        ) from None
+    return fn(scaled_sq_dists(x1, x2, params.delta))
 
 
-def gaussian_corr_self(x: jax.Array, params: GPParams) -> jax.Array:
+def corr_self(x: jax.Array, params: GPParams,
+              family: str = "gaussian") -> jax.Array:
     """Training correlation matrix A = c(X, X) + nugget*I, symmetrized.
 
     The explicit symmetrization (A + A^T)/2 removes the asymmetric fp32
     rounding of the matmul expansion so downstream Cholesky sees an exactly
     symmetric operand.
     """
-    a = gaussian_corr(x, x, params)
+    a = corr(x, x, params, family)
     a = 0.5 * (a + a.T)
     n = x.shape[0]
     return a + params.nugget * jnp.eye(n, dtype=a.dtype)
+
+
+def gaussian_corr(x1: jax.Array, x2: jax.Array, params: GPParams) -> jax.Array:
+    """Gaussian-family cross-correlation (the reference's only kernel)."""
+    return jnp.exp(-scaled_sq_dists(x1, x2, params.delta))
+
+
+def gaussian_corr_self(x: jax.Array, params: GPParams) -> jax.Array:
+    """Gaussian-family training matrix A = c(X, X) + nugget*I, symmetrized."""
+    return corr_self(x, params, "gaussian")

@@ -29,6 +29,11 @@ def setup(emul: Emulator, m, v, *, raw_space: bool = False) -> Sensitivity:
     """
     if emul.state is None:
         raise RuntimeError("emulator must be trained before sensitivity setup")
+    if emul.mle_config.family != "gaussian":
+        raise ValueError(
+            "the analytic MUCM sensitivity integrals exist only for the "
+            f"gaussian kernel family (emulator uses {emul.mle_config.family!r})"
+        )
     m = np.asarray(m, dtype=np.float64)
     v = np.asarray(v, dtype=np.float64)
     if raw_space:

@@ -18,6 +18,22 @@ def corr_self(x, delta, nugget):
     return corr(x, x, delta) + nugget * np.eye(len(x))
 
 
+def corr_family(x1, x2, delta, family):
+    d2 = (((x1[:, None, :] - x2[None, :, :]) / delta) ** 2).sum(-1)
+    r = np.sqrt(d2)
+    if family == "gaussian":
+        return np.exp(-d2)
+    if family == "matern52":
+        s = np.sqrt(5.0) * r
+        return (1.0 + s + s * s / 3.0) * np.exp(-s)
+    if family == "matern32":
+        s = np.sqrt(3.0) * r
+        return (1.0 + s) * np.exp(-s)
+    if family == "exponential":
+        return np.exp(-r)
+    raise ValueError(family)
+
+
 def gls(a, h, y):
     ainv = np.linalg.inv(a)
     g = h.T @ ainv @ h

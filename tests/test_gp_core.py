@@ -140,6 +140,34 @@ class TestPosterior:
         assert lo < d_stat < hi
         assert np.mean(np.abs(np.asarray(diag["std_err"])) < 2.5) > 0.8
 
+    def test_sample_posterior_moments(self):
+        """Draw moments converge to predict()'s mean/cov (t and Gaussian)."""
+        x, y = _problem(n=20)
+        xs = np.random.default_rng(3).uniform(size=(5, 3))
+        spec = linear_basis(3)
+        h = basis_matrix(jnp.asarray(x), spec)
+        hs = basis_matrix(jnp.asarray(xs), spec)
+        p = make_params(DELTA, nugget=1e-4, dtype=jnp.float64)
+        st = gp.fit(p, jnp.asarray(x), jnp.asarray(y), h)
+        mean, cov = gp.predict(
+            st, jnp.asarray(x), h, jnp.asarray(xs), hs, full_cov=True
+        )
+        sd = np.sqrt(np.diagonal(np.asarray(cov)))
+        for student_t in (True, False):
+            draws = gp.sample_posterior(
+                jax.random.key(0), st, jnp.asarray(x), h, jnp.asarray(xs), hs,
+                n_draws=40000, student_t=student_t,
+            )
+            draws = np.asarray(draws)
+            assert draws.shape == (40000, 5)
+            np.testing.assert_allclose(draws.mean(0), mean, atol=4e-2 * sd.max())
+            # t draws have covariance == predict()'s cov (the t covariance);
+            # Gaussian draws treat cov as the Gaussian covariance directly.
+            np.testing.assert_allclose(
+                np.cov(draws.T), np.asarray(cov),
+                atol=6e-2 * float(sd.max()) ** 2 + 1e-12,
+            )
+
     def test_loo(self):
         """LOO closed form matches brute-force refitting without point i."""
         x, y = _problem(n=18, d=2)

@@ -1,0 +1,147 @@
+"""Matern/exponential correlation families (capability extension).
+
+The reference lineage kept a pluggable kernel list (`_emulatorkernels.py`,
+SURVEY.md S3); only the Gaussian family has analytic UQSA. These tests pin
+the family formulas against the NumPy oracle and exercise the full
+fit -> predict -> MLE path per family.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from gp_emu_uqsa_tpu import gp
+from gp_emu_uqsa_tpu.basis import basis_matrix, linear_basis
+from gp_emu_uqsa_tpu.inference import MLEConfig, mle_fit
+from gp_emu_uqsa_tpu.kernels import corr, corr_self, make_params
+
+import oracle
+
+FAMILIES = ["matern52", "matern32", "exponential", "gaussian"]
+DELTA = np.array([0.7, 1.3])
+
+
+def _problem(n=24, d=2, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(size=(n, d))
+    y = np.sin(3 * x[:, 0]) + x[:, 1] ** 2
+    return x, y
+
+
+@pytest.mark.parametrize("family", FAMILIES)
+def test_corr_matches_oracle(family):
+    x, _ = _problem()
+    xs = np.random.default_rng(1).uniform(size=(7, 2))
+    p = make_params(DELTA, dtype=jnp.float64)
+    got = corr(jnp.asarray(xs), jnp.asarray(x), p, family)
+    want = oracle.corr_family(xs, x, DELTA, family)
+    np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+@pytest.mark.parametrize("family", FAMILIES)
+def test_psd_and_unit_diagonal(family):
+    x, _ = _problem(n=40)
+    p = make_params(DELTA, nugget=1e-10, dtype=jnp.float64)
+    a = np.asarray(corr_self(jnp.asarray(x), p, family))
+    np.testing.assert_allclose(np.diagonal(a), 1.0 + 1e-10, atol=1e-12)
+    assert np.linalg.eigvalsh(a).min() > 0
+
+
+@pytest.mark.parametrize("family", ["matern52", "matern32", "exponential"])
+def test_grad_finite_at_coincident_points(family):
+    """safe-dist double-where: gradients stay finite despite r=0 pairs."""
+    x, y = _problem()
+    x[1] = x[0]  # coincident pair => d2 == 0 off-diagonal
+    h = basis_matrix(jnp.asarray(x), linear_basis(2))
+    p = make_params(DELTA, nugget=1e-6, dtype=jnp.float64)
+    g = jax.grad(
+        lambda pp: gp.nll_mucm(pp, jnp.asarray(x), jnp.asarray(y), h,
+                               family=family)
+    )(p)
+    assert np.all(np.isfinite(np.asarray(g.log_delta)))
+
+
+@pytest.mark.parametrize("family", ["matern52", "exponential"])
+def test_fit_predict_interpolates(family):
+    x, y = _problem()
+    h = basis_matrix(jnp.asarray(x), linear_basis(2))
+    p = make_params(DELTA, nugget=1e-10, dtype=jnp.float64)
+    st = gp.fit(p, jnp.asarray(x), jnp.asarray(y), h, family=family)
+    mean, var = gp.predict(st, jnp.asarray(x), h, jnp.asarray(x), h,
+                           family=family)
+    np.testing.assert_allclose(mean, y, atol=1e-5)
+    assert float(jnp.max(var)) < 1e-5
+
+
+def test_posterior_matches_oracle_matern52():
+    """Full universal-kriging posterior under matern52 vs explicit NumPy."""
+    x, y = _problem()
+    xs = np.random.default_rng(2).uniform(size=(9, 2))
+    spec = linear_basis(2)
+    h = np.asarray(basis_matrix(jnp.asarray(x), spec))
+    hs = np.asarray(basis_matrix(jnp.asarray(xs), spec))
+    nug = 1e-6
+    st = gp.fit(make_params(DELTA, nugget=nug, dtype=jnp.float64),
+                jnp.asarray(x), jnp.asarray(y), jnp.asarray(h),
+                family="matern52")
+    mean, var = gp.predict(st, jnp.asarray(x), jnp.asarray(h),
+                           jnp.asarray(xs), jnp.asarray(hs), family="matern52")
+    # oracle, explicit-inverse style
+    a = oracle.corr_family(x, x, DELTA, "matern52") + nug * np.eye(len(x))
+    ainv = np.linalg.inv(a)
+    g = h.T @ ainv @ h
+    beta = np.linalg.solve(g, h.T @ ainv @ y)
+    s2 = (y @ ainv @ y - (h.T @ ainv @ y) @ np.linalg.solve(g, h.T @ ainv @ y)) / (
+        len(y) - h.shape[1] - 2
+    )
+    t = oracle.corr_family(xs, x, DELTA, "matern52")
+    omean = hs @ beta + t @ ainv @ (y - h @ beta)
+    r = hs - t @ ainv @ h
+    ovar = s2 * (
+        1.0 - np.sum((t @ ainv) * t, 1) + np.sum((r @ np.linalg.inv(g)) * r, 1)
+    )
+    np.testing.assert_allclose(mean, omean, rtol=1e-8)
+    np.testing.assert_allclose(var, ovar, rtol=1e-6, atol=1e-12)
+
+
+def test_mle_fit_runs_per_family():
+    """Multi-restart MLE (AD path, no custom VJP) works for every family."""
+    x, y = _problem(n=30)
+    h = basis_matrix(jnp.asarray(x), linear_basis(2))
+    for family in ["matern52", "exponential"]:
+        cfg = MLEConfig(tries=2, max_iters=30, nugget=1e-6, family=family)
+        params, info = mle_fit(jax.random.key(0), jnp.asarray(x),
+                               jnp.asarray(y), h, cfg)
+        assert np.isfinite(float(info["best_nll"]))
+        st = gp.fit(params, jnp.asarray(x), jnp.asarray(y), h, family=family)
+        assert np.isfinite(float(st.nll))
+
+
+def test_families_differ_from_gaussian():
+    x, _ = _problem()
+    p = make_params(DELTA, dtype=jnp.float64)
+    a_g = corr(jnp.asarray(x), jnp.asarray(x), p, "gaussian")
+    for family in ["matern52", "matern32", "exponential"]:
+        a_f = corr(jnp.asarray(x), jnp.asarray(x), p, family)
+        assert float(jnp.max(jnp.abs(a_f - a_g))) > 1e-3
+
+
+def test_beliefs_kernel_family_parse(tmp_path):
+    from gp_emu_uqsa_tpu.configs import Beliefs
+
+    b = Beliefs(kernel="matern_5_2()")
+    assert b.kernel_family() == "matern52"
+    assert Beliefs(kernel="gaussian()").kernel_family() == "gaussian"
+    with pytest.raises(ValueError):
+        Beliefs(kernel="periodic()").kernel_family()
+
+
+def test_sensitivity_rejects_non_gaussian():
+    from gp_emu_uqsa_tpu import Emulator, sensitivity
+
+    x, y = _problem(n=30)
+    emul = Emulator.from_arrays(x, y, kernel="matern52", tries=2,
+                                tv_config=(10, 0, 1))
+    emul.train_full()
+    with pytest.raises(ValueError, match="gaussian"):
+        sensitivity.setup(emul, m=[0.5, 0.5], v=[0.02, 0.02])
