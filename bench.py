@@ -1,8 +1,20 @@
 """Headline benchmark: GP emulator train + posterior-predict throughput.
 
-Measures, on the default JAX backend (the real TPU chip under the driver):
-  * fit time at n=4096, d=8 (kernel-matrix build + Cholesky + solves)
-  * posterior predict (mean AND variance) throughput in points/s
+Round-2 layout (VERDICT r1 next-steps #1/#6): the bench is STAGED — every
+device-heavy measurement runs in its own killable subprocess, so a remote
+TPU-relay crash mid-stage loses only the remaining stages instead of the
+whole artifact, and the relay is WAITED for (bounded, env
+BENCH_RELAY_WAIT_S, default 1500 s) rather than silently falling back to
+CPU, which is what made BENCH_r01.json a CPU number.
+
+Stages, ordered so the most important numbers land before the riskiest
+(large-allocation) work touches the fragile tunnel:
+  core      fit + predict(mean+var) + Pallas serve at n=4096 (r1 metric)
+  roofline  kernel build / Cholesky / TRSM rates at n=16384 vs the chip's
+            fp32 roof (BASELINE north star: >=50% of roofline)
+  hmc       HMC samples/s/chip, 64 chains (BASELINE config 4)
+  fit16k    n=16384 fit + 1M-point batched mean+var prediction + Pallas
+            mean serving (BASELINE config 5, single chip)
 
 vs_baseline compares against a NumPy/LAPACK implementation of the identical
 math on this host — a stand-in for the reference, which is pure NumPy with
@@ -26,23 +38,33 @@ N_PRED = 16384
 DIM = 8
 N_PRED_NUMPY = 256
 
+STAGE_TIMEOUT_S = {
+    "core": 420.0,
+    "roofline": 600.0,
+    "hmc": 420.0,
+    "fit16k": 900.0,
+}
 
-def _problem():
+
+def _problem(n=N_TRAIN, m=N_PRED, d=DIM):
     rng = np.random.default_rng(0)
-    x = rng.uniform(size=(N_TRAIN, DIM)).astype(np.float32)
+    x = rng.uniform(size=(n, d)).astype(np.float32)
     y = np.sin(3 * x[:, 0]) + x[:, 1] * x[:, 2] + 0.1 * x.sum(1)
-    xs = rng.uniform(size=(N_PRED, DIM)).astype(np.float32)
-    delta = np.full(DIM, 0.8, np.float32)
+    xs = rng.uniform(size=(m, d)).astype(np.float32)
+    delta = np.full(d, 0.8, np.float32)
     return x, y.astype(np.float32), xs, delta
 
 
-def _tpu_relay_alive(timeout_s: float = 150.0) -> bool:
+# --------------------------------------------------------------------------
+# relay management (parent side — the parent NEVER imports jax: while the
+# relay is down even `import jax` hangs in sitecustomize registration)
+# --------------------------------------------------------------------------
+
+def _tpu_relay_alive(timeout_s: float = 90.0) -> bool:
     """Probe the remote-TPU relay in a SUBPROCESS with a hard timeout.
 
-    When the axon relay is down, `import jax` itself hangs in the parent
-    (sitecustomize registration), so the probe must happen in a child we
-    can kill. A tiny matmul is forced through the device to catch relays
-    that accept connections but stall on execution.
+    A tiny matmul is forced through the device to catch relays that accept
+    connections but stall on execution.
     """
     if not os.environ.get("PALLAS_AXON_POOL_IPS"):
         return False
@@ -54,8 +76,7 @@ def _tpu_relay_alive(timeout_s: float = 150.0) -> bool:
     )
     try:
         r = subprocess.run(
-            [sys.executable, "-c", code],
-            timeout=timeout_s,
+            [sys.executable, "-c", code], timeout=timeout_s,
             capture_output=True,
         )
         return r.returncode == 0
@@ -63,21 +84,98 @@ def _tpu_relay_alive(timeout_s: float = 150.0) -> bool:
         return False
 
 
-def bench_jax():
-    if not _tpu_relay_alive():
-        # CPU fallback: drop the axon pool var BEFORE importing jax so the
-        # relay registration (which would hang) is skipped entirely.
+def _wait_for_relay() -> tuple[bool, float]:
+    """Bounded wait-and-retry for the TPU relay (VERDICT r1: do not fall
+    back to CPU silently). Returns (alive, seconds_waited)."""
+    budget = float(os.environ.get("BENCH_RELAY_WAIT_S", "1500"))
+    t0 = time.monotonic()
+    first = True
+    while True:
+        if _tpu_relay_alive():
+            return True, time.monotonic() - t0
+        waited = time.monotonic() - t0
+        if waited >= budget:
+            return False, waited
+        if first:
+            print(f"# TPU relay down; retrying up to {budget:.0f}s",
+                  file=sys.stderr)
+            first = False
+        time.sleep(min(60.0, budget - waited))
+
+
+def _cpu_env() -> dict:
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["BENCH_FORCE_CPU"] = "1"
+    return env
+
+
+def _run_stage(name: str, cpu: bool) -> dict | None:
+    """Run one stage in a subprocess; parse its last stdout line as JSON."""
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--stage", name],
+            timeout=STAGE_TIMEOUT_S[name],
+            capture_output=True, text=True,
+            env=_cpu_env() if cpu else None,
+        )
+    except (subprocess.TimeoutExpired, OSError):
+        return None
+    if r.returncode != 0:
+        sys.stderr.write(r.stderr[-2000:])
+        return None
+    for line in reversed(r.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                return None
+    return None
+
+
+# --------------------------------------------------------------------------
+# stage bodies (child processes)
+# --------------------------------------------------------------------------
+
+def _child_jax():
+    """Import jax inside a stage child, honoring the CPU-fallback env."""
+    if os.environ.get("BENCH_FORCE_CPU"):
         os.environ.pop("PALLAS_AXON_POOL_IPS", None)
         os.environ["JAX_PLATFORMS"] = "cpu"
         import jax
 
         jax.config.update("jax_platforms", "cpu")
     import jax
+
+    return jax
+
+
+def _timed(fn, sync, reps):
+    """Enqueue reps asynchronously, sync once, subtract the measured
+    round-trip — a per-rep sync costs one ~25 ms tunnel RTT each and
+    swamps millisecond ops on the remote backend."""
+    out = fn()
+    sync(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn()
+    sync(out)
+    total = time.perf_counter() - t0
+    t1 = time.perf_counter()
+    sync(out)
+    rtt = time.perf_counter() - t1
+    return max((total - rtt) / reps, 1e-9)
+
+
+def stage_core():
+    jax = _child_jax()
     import jax.numpy as jnp
 
     from gp_emu_uqsa_tpu import gp
     from gp_emu_uqsa_tpu.basis import basis_matrix, linear_basis
-    from gp_emu_uqsa_tpu.kernels import make_params
+    from gp_emu_uqsa_tpu.kernels import corr, make_params
 
     x_np, y_np, xs_np, delta = _problem()
     dtype = jnp.float32
@@ -102,44 +200,139 @@ def bench_jax():
     out = predict_jit(pred, x, xs, hs)
     float(out[1][-1])
 
-    def timed(fn, sync, reps):
-        """Enqueue reps asynchronously, sync once, subtract the measured
-        round-trip — a per-rep sync costs one ~25 ms tunnel RTT each and
-        swamps millisecond ops on the remote backend."""
-        out = fn()
-        sync(out)
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            out = fn()
-        sync(out)
-        total = time.perf_counter() - t0
-        t1 = time.perf_counter()
-        sync(out)
-        rtt = time.perf_counter() - t1
-        return max((total - rtt) / reps, 1e-9)
-
-    fit_s = timed(lambda: fit_jit(params, x, y, h),
-                  lambda o: float(o.nll), reps=5)
-    pred_s = timed(lambda: predict_jit(pred, x, xs, hs),
-                   lambda o: float(o[1][-1]), reps=8)
+    fit_s = _timed(lambda: fit_jit(params, x, y, h),
+                   lambda o: float(o.nll), reps=5)
+    pred_s = _timed(lambda: predict_jit(pred, x, xs, hs),
+                    lambda o: float(o[1][-1]), reps=8)
 
     # mean-only serving via the fused Pallas kernel (ops/serve.py): the
-    # (m, n) cross-correlation block never touches HBM. TPU-only (the
-    # compiled kernel has no CPU backend); report 0.0 when unavailable.
+    # (m, n) cross-correlation block never materializes in HBM. TPU-only
+    # (no CPU lowering); report 0.0 when unavailable. Also time the XLA
+    # mean-only path for the Pallas-vs-XLA comparison (VERDICT r1 #5).
     serve_pps = 0.0
+    serve_pps_xla = 0.0
+    mean_jit = jax.jit(
+        lambda pr, x, xs, hs: hs @ pr.beta + corr(xs, x, pr.params) @ pr.e
+    )
+    try:
+        m_out = mean_jit(pred, x, xs, hs)
+        float(m_out[-1])
+        serve_s_xla = _timed(lambda: mean_jit(pred, x, xs, hs),
+                             lambda o: float(o[-1]), reps=8)
+        serve_pps_xla = N_PRED / serve_s_xla
+    except Exception:
+        pass
     try:
         from gp_emu_uqsa_tpu.ops.serve import serve_mean_pallas
 
         serve_jit = jax.jit(lambda pr, x, xs, hs: serve_mean_pallas(pr, x, xs, hs))
         m_out = serve_jit(pred, x, xs, hs)
         float(m_out[-1])
-        serve_s = timed(lambda: serve_jit(pred, x, xs, hs),
-                        lambda o: float(o[-1]), reps=8)
+        serve_s = _timed(lambda: serve_jit(pred, x, xs, hs),
+                         lambda o: float(o[-1]), reps=8)
         serve_pps = N_PRED / serve_s
     except Exception:
         pass
-    return fit_s, N_PRED / pred_s, serve_pps, str(jax.devices()[0])
+    return {
+        "fit_seconds": round(fit_s, 4),
+        "predict_points_per_s": round(N_PRED / pred_s, 1),
+        "serve_pallas_points_per_s": round(serve_pps, 1),
+        "serve_xla_points_per_s": round(serve_pps_xla, 1),
+        "device": str(jax.devices()[0]),
+    }
 
+
+def stage_roofline():
+    _child_jax()
+    from gp_emu_uqsa_tpu.utils.roofline import measure
+
+    res = measure(n=16384, d=DIM, m=8192)
+    out = {"device": res.get("device"), "n": 16384}
+    for k in ("kernel_build", "kernel_build_pallas", "cholesky_xla",
+              "cholesky_blocked", "fit_total", "predict_fast",
+              "serve_mean_pallas"):
+        if k in res:
+            out[k] = res[k]
+    return out
+
+
+def stage_hmc():
+    _child_jax()
+    from gp_emu_uqsa_tpu.utils.roofline import measure_hmc
+
+    return measure_hmc()
+
+
+def stage_fit16k():
+    jax = _child_jax()
+    import jax.numpy as jnp
+
+    from gp_emu_uqsa_tpu import gp
+    from gp_emu_uqsa_tpu.basis import basis_matrix, linear_basis
+    from gp_emu_uqsa_tpu.kernels import make_params
+
+    n, m = 16384, 1_048_576
+    x_np, y_np, _, delta = _problem(n=n)
+    rng = np.random.default_rng(1)
+    dtype = jnp.float32
+    x = jnp.asarray(x_np, dtype)
+    y = jnp.asarray(y_np, dtype)
+    spec = linear_basis(DIM)
+    h = basis_matrix(x, spec)
+    params = make_params(delta, nugget=1e-4, dtype=dtype)
+
+    fit_jit = jax.jit(lambda p, x, y, h: gp.fit(p, x, y, h))
+    state = fit_jit(params, x, y, h)
+    float(state.nll)
+    fit_s = _timed(lambda: fit_jit(params, x, y, h),
+                   lambda o: float(o.nll), reps=3)
+    pred = jax.jit(gp.predictor)(state)
+    float(pred.sigma2)
+
+    # 1M-point batched mean+var prediction (BASELINE config 5): lax.map
+    # chunks bound the cross-correlation block to (batch, n) = 256 MB
+    xs = jnp.asarray(rng.uniform(size=(m, DIM)).astype(np.float32), dtype)
+    hs = basis_matrix(xs, spec)
+    pb = jax.jit(lambda pr, x, xs, hs: gp.predict_batched(
+        pr, x, xs, hs, batch=4096))
+    out = pb(pred, x, xs, hs)
+    float(out[1][-1])
+    pred_s = _timed(lambda: pb(pred, x, xs, hs),
+                    lambda o: float(o[1][-1]), reps=2)
+
+    serve_pps = 0.0
+    try:
+        from gp_emu_uqsa_tpu.ops.serve import serve_mean_pallas
+
+        xs64k, hs64k = xs[:65536], hs[:65536]
+        serve_jit = jax.jit(lambda pr, x, xs, hs: serve_mean_pallas(
+            pr, x, xs, hs))
+        float(serve_jit(pred, x, xs64k, hs64k)[-1])
+        serve_s = _timed(lambda: serve_jit(pred, x, xs64k, hs64k),
+                         lambda o: float(o[-1]), reps=4)
+        serve_pps = 65536 / serve_s
+    except Exception:
+        pass
+    return {
+        "fit_seconds_n16384": round(fit_s, 4),
+        "predict_1m_points_per_s": round(m / pred_s, 1),
+        "predict_1m_seconds": round(pred_s, 3),
+        "serve_pallas_points_per_s_n16384": round(serve_pps, 1),
+        "device": str(jax.devices()[0]),
+    }
+
+
+STAGES = {
+    "core": stage_core,
+    "roofline": stage_roofline,
+    "hmc": stage_hmc,
+    "fit16k": stage_fit16k,
+}
+
+
+# --------------------------------------------------------------------------
+# NumPy/LAPACK baseline (parent: no jax import)
+# --------------------------------------------------------------------------
 
 def bench_numpy():
     """Reference-style NumPy/LAPACK implementation of the same math."""
@@ -184,24 +377,64 @@ def bench_numpy():
 
 
 def main():
-    fit_jax, pps_jax, serve_pps, device = bench_jax()
+    alive, waited = _wait_for_relay()
+    cpu = not alive
+    results: dict = {}
+    failed: list[str] = []
+    skipped: list[str] = []
+    stage_order = ["core", "roofline", "hmc", "fit16k"]
+    for i, name in enumerate(stage_order):
+        out = _run_stage(name, cpu)
+        if out is None:
+            failed.append(name)
+            # a failed TPU stage usually means the tunnel died — do not
+            # feed the remaining stages into a dead relay
+            if not cpu and not _tpu_relay_alive():
+                skipped.extend(stage_order[i + 1:])
+                break
+        else:
+            results[name] = out
+
     fit_np, pps_np = bench_numpy()
-    print(
-        json.dumps(
-            {
-                "metric": f"posterior_predict_points_per_s_n{N_TRAIN}_d{DIM}",
-                "value": round(pps_jax, 1),
-                "unit": "points/s (mean+var)",
-                "vs_baseline": round(pps_jax / pps_np, 2),
-                "fit_seconds_n4096": round(fit_jax, 4),
-                "serve_mean_points_per_s_pallas": round(serve_pps, 1),
-                "numpy_baseline_points_per_s": round(pps_np, 1),
-                "numpy_fit_seconds": round(fit_np, 4),
-                "device": device,
-            }
-        )
-    )
+    core = results.get("core", {})
+    pps_jax = core.get("predict_points_per_s", 0.0)
+    serve_pl = core.get("serve_pallas_points_per_s", 0.0)
+    serve_xla = core.get("serve_xla_points_per_s", 0.0)
+    roof = results.get("roofline", {})
+    chol = roof.get("cholesky_blocked") or roof.get("cholesky_xla") or {}
+    hmc = results.get("hmc", {})
+    f16 = results.get("fit16k", {})
+    payload = {
+        "metric": f"posterior_predict_points_per_s_n{N_TRAIN}_d{DIM}",
+        "value": round(pps_jax, 1),
+        "unit": "points/s (mean+var)",
+        "vs_baseline": round(pps_jax / pps_np, 2) if pps_jax else 0.0,
+        "fit_seconds_n4096": core.get("fit_seconds"),
+        "serve_mean_points_per_s_pallas": serve_pl,
+        "serve_mean_points_per_s_xla": serve_xla,
+        "pallas_vs_xla_serve_speedup": (
+            round(serve_pl / serve_xla, 2) if serve_pl and serve_xla else None
+        ),
+        "cholesky16k_tflops": chol.get("tflops"),
+        "cholesky16k_pct_fp32_roof": chol.get("pct_of_fp32_roof"),
+        "cholesky16k_pct_bf16_roof": chol.get("pct_of_bf16_roof"),
+        "fit16k_seconds": f16.get("fit_seconds_n16384"),
+        "predict_1m_points_per_s_n16384": f16.get("predict_1m_points_per_s"),
+        "hmc_samples_per_s_per_chip_64chains": hmc.get(
+            "samples_per_s_per_chip"),
+        "numpy_baseline_points_per_s": round(pps_np, 1),
+        "numpy_fit_seconds": round(fit_np, 4),
+        "device": core.get("device") or roof.get("device") or "unknown",
+        "relay_waited_s": round(waited, 1),
+        "tpu": not cpu,
+        "stages_failed": failed,
+        "stages_skipped": skipped,
+    }
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--stage":
+        print(json.dumps(STAGES[sys.argv[2]]()))
+    else:
+        main()

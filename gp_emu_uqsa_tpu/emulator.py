@@ -303,6 +303,10 @@ class Emulator:
         out.mucm = self.mle_config.mode == "mucm"
         out.fix_nugget = not self.mle_config.train_nugget
         out.input_minmax = self.splits.minmax
+        # record the kernel family the fit actually used — a from_arrays
+        # emulator otherwise writes back the default 'gaussian()' even for
+        # matern/exponential fits (ADVICE r1)
+        out.kernel = f"{self.mle_config.family}()"
         return out
 
 

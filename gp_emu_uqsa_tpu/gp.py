@@ -222,15 +222,25 @@ def nll(params: GPParams, x, y, h, *, mode: str = "mucm",
 
 
 def fit(params: GPParams, x, y, h, *, mode: str = "mucm",
-        noise_diag=None, family: str = "gaussian") -> FitState:
+        noise_diag=None, family: str = "gaussian",
+        refine: int = 0) -> FitState:
     """Build the posterior sufficient statistics at fixed hyperparameters.
 
     `family` selects the correlation family (kernels.CORR_FAMILIES); it is a
     static Python string, NOT stored in the (pytree) fit state — pass the
     same family to predict()/validate() (the Emulator facade does this).
+
+    `refine`: mixed-precision iterative-refinement sweeps on the A-solves
+    for e and A^-1 H (the quantities every downstream prediction reuses).
+    The fp32-at-scale path (n >= 8k on TPU) should pass refine=1: each
+    sweep costs one n^2 (q+1) extended-precision residual GEMM (fp64,
+    VPU-emulated on TPU; needs jax_enable_x64 for full effect — see
+    ops/cholesky.py::residual_dtype) + one cho_solve — O(n^2) vs the
+    O(n^3/3) factorization — and cuts the solve's forward error by
+    ~kappa(A) * eps_f32 per sweep (docs/numerics.md has the budget).
     """
     n, q = h.shape[0], h.shape[1]
-    (_, l, jitter, linv_y, linv_h, lg, beta, resid, logdet_a, logdet_g) = _common(
+    (a, l, jitter, linv_y, linv_h, lg, beta, resid, logdet_a, logdet_g) = _common(
         params, x, y, h, noise_diag, True, family
     )
     if mode == "mucm":
@@ -246,6 +256,26 @@ def fit(params: GPParams, x, y, h, *, mode: str = "mucm",
         jnp.concatenate([(linv_y - linv_h @ beta)[:, None], linv_h], axis=1),
         trans=True,
     )
+    if refine:
+        # mixed-precision iterative refinement on A_eff [e | A^-1 H] =
+        # [y-Hb | H], A_eff = a + jitter I (what the factor factorizes).
+        # Residual in extended precision: in working precision the sweep
+        # stalls at the Skeel limit (docs/numerics.md, Wilkinson).
+        from gp_emu_uqsa_tpu.ops.cholesky import cho_solve, residual_dtype
+
+        rt = residual_dtype(a.dtype)
+        a_r = a.astype(rt)
+        jit_r = jitter.astype(rt)
+        rhs = jnp.concatenate(
+            [(y.astype(rt) - h.astype(rt) @ beta.astype(rt))[:, None],
+             h.astype(rt)], axis=1,
+        )
+        hi = lax.Precision.HIGHEST
+        for _ in range(refine):
+            back_r = back.astype(rt)
+            r = (rhs - (jnp.matmul(a_r, back_r, precision=hi)
+                        + jit_r * back_r)).astype(back.dtype)
+            back = back + cho_solve(l, r)
     e = back[:, 0]
     ainv_h = back[:, 1:]
     return FitState(params, l, lg, beta, e, sigma2, ainv_h, jitter, _guard(nll_val))
@@ -356,7 +386,7 @@ def predict_fast(pred: Predictor, x, xstar, hstar, *, include_nugget=False,
 
 
 def predict_batched(pred: Predictor, x, xstar, hstar, *, batch: int = 65536,
-                    include_nugget: bool = False):
+                    include_nugget: bool = False, family: str = "gaussian"):
     """predict_fast over query chunks: bounds peak memory at O(batch * n).
 
     The m x n cross-correlation block never materializes for the full query
@@ -367,7 +397,8 @@ def predict_batched(pred: Predictor, x, xstar, hstar, *, batch: int = 65536,
     hstar = jnp.asarray(hstar)
     m = xstar.shape[0]
     if m <= batch:
-        return predict_fast(pred, x, xstar, hstar, include_nugget=include_nugget)
+        return predict_fast(pred, x, xstar, hstar,
+                            include_nugget=include_nugget, family=family)
     n_chunks = -(-m // batch)
     m_pad = n_chunks * batch
     xs_p = jnp.pad(xstar, ((0, m_pad - m), (0, 0)))
@@ -377,7 +408,8 @@ def predict_batched(pred: Predictor, x, xstar, hstar, *, batch: int = 65536,
 
     def one(args):
         xs, hs = args
-        return predict_fast(pred, x, xs, hs, include_nugget=include_nugget)
+        return predict_fast(pred, x, xs, hs, include_nugget=include_nugget,
+                            family=family)
 
     means, variances = jax.lax.map(one, (xs_c, hs_c))
     return means.reshape(m_pad)[:m], variances.reshape(m_pad)[:m]
@@ -406,6 +438,12 @@ def sample_posterior(key, state: FitState, x, h, xstar, hstar, n_draws: int = 1,
     m = mean.shape[0]
     n, q = state.l.shape[0], state.lg.shape[0]
     dof = n - q
+    if student_t and dof <= 2:
+        raise ValueError(
+            f"student_t draws need n - q > 2 (got n={n}, q={q}: the t scale "
+            "matrix (dof-2)/dof * cov would be non-positive). Pass "
+            "student_t=False (gp4ml-mode Gaussian draws) or add data."
+        )
     zkey, gkey = jax.random.split(key)
     scale = cov * ((dof - 2.0) / dof) if student_t else cov
     ls, _ = cholesky_with_jitter(scale)

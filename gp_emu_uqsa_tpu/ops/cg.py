@@ -14,9 +14,9 @@ Two matvec backends:
     same contraction with the correlation tile kept in VMEM — plug it in as
     `matvec=lambda v: corr_matvec_pallas(x, x, delta, v) + shift * v` on TPU.
 
-No logdet here: iterative NLL (stochastic Lanczos quadrature) is out of
-scope; the matrix-free path serves fixed hyperparameters (fit them on a
-subset or with the factorized path).
+Logdet/NLL live elsewhere in the matrix-free stack: `ops/slq.py` (stochastic
+Lanczos quadrature) and `inference/matrix_free.py` (BBMM-style NLL+gradient
+and Adam MLE) build on these matvecs/solves.
 """
 from __future__ import annotations
 

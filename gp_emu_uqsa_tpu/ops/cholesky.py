@@ -181,3 +181,55 @@ def tri_solve(l: jax.Array, b: jax.Array, *, trans: bool = False) -> jax.Array:
 def cho_solve(l: jax.Array, b: jax.Array) -> jax.Array:
     """Solve (L L^T) x = b."""
     return tri_solve(l, tri_solve(l, b), trans=True)
+
+
+def residual_dtype(dtype) -> jnp.dtype:
+    """Extended precision for iterative-refinement residuals.
+
+    Wilkinson's condition: IR converges in FORWARD error only when the
+    residual r = b - A x is computed at (roughly) twice the working
+    precision — in working precision the true residual (size ~eps*|A||x|,
+    backward stability makes it small no matter how wrong x is) drowns in
+    the GEMM's own accumulation rounding, and the sweep stalls at the
+    Skeel limit (measured: a ~1.6x one-off gain, docs/numerics.md).
+
+    fp32 work -> fp64 residual. On TPU there is no fp64 MXU path; XLA
+    emulates f64 on the VPU — slow per FLOP but the residual is O(n^2 k)
+    against the O(n^3/3) factorization, so it stays a rounding error in
+    the profile. Requires jax_enable_x64; when x64 is off the promotion
+    silently no-ops (jnp gives back f32) and refinement degrades to the
+    fixed-precision ~1.6x variant — documented, not an error. fp64 work
+    keeps fp64 residuals (no wider float exists; fp64 rarely needs IR).
+    """
+    del dtype
+    return jnp.float64
+
+
+def cho_solve_refined(l: jax.Array, a: jax.Array, b: jax.Array,
+                      *, iters: int = 1) -> jax.Array:
+    """cho_solve + mixed-precision iterative refinement (fp32-at-scale).
+
+    TPU has no fp64 matmul, so at n >= 8k an fp32 factorization of an
+    ill-conditioned kernel matrix (clustered inputs, small nugget) loses
+    ~log10(kappa) digits in the solve. Each refinement sweep
+
+        r = b - A x          (residual GEMM in EXTENDED precision, fp64)
+        x <- x + (L L^T)^{-1} r   (correction reuses the fp32 factor)
+
+    multiplies the solve's forward error by O(kappa * eps_f32) — measured
+    1.3e-3 -> 2.6e-6 -> 2.6e-8 at kappa~2.7e5 (docs/numerics.md). The fp64
+    residual GEMM is O(n^2 k) VPU-emulated work on TPU vs the O(n^3/3)
+    MXU factorization: negligible. The residual is rounded back to fp32
+    before the solve — only its RELATIVE accuracy matters (classical
+    mixed-precision IR). Tolerance budget: docs/numerics.md; test:
+    tests/test_fp32.py::test_refined_solve_error_bound_n4096.
+    """
+    x = cho_solve(l, b)
+    rt = residual_dtype(a.dtype)
+    a_r = a.astype(rt)
+    b_r = b.astype(rt)
+    for _ in range(iters):
+        r = (b_r - jnp.matmul(a_r, x.astype(rt),
+                              precision=lax.Precision.HIGHEST)).astype(a.dtype)
+        x = x + cho_solve(l, r)
+    return x

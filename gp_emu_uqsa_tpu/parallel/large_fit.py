@@ -37,6 +37,7 @@ def fit_large(
     mode: str = "mucm",
     factorization: str = "recursive",
     col_axis: str = "mc",
+    refine: int = 0,
 ) -> gp.FitState:
     """Distributed analog of gp.fit for n too large for one chip.
 
@@ -45,6 +46,11 @@ def fit_large(
     scheme; ~3x FLOPs but a strictly regular per-step schedule), or
     "block2d" (2D block-cyclic over mesh axes (`axis`, `col_axis`);
     per-device memory n^2/P instead of n^2/P_rows — the pod-slice path).
+
+    refine: iterative-refinement sweeps on the A-solves for [e | A^-1 H]
+    — the fp32-at-scale accuracy story (docs/numerics.md): the residual
+    GEMM is sharded like A and the correction reuses the distributed
+    factor, so a sweep is O(n^2 (q+1) / P) work per device.
     """
     x = jnp.asarray(x)
     y = jnp.asarray(y)
@@ -122,6 +128,31 @@ def fit_large(
         l_pad, jnp.pad(linv_h, ((0, n_pad - n), (0, 0))), mesh, axis=axis,
         block=blk, trans=True,
     )
+    if refine:
+        from gp_emu_uqsa_tpu.ops.cholesky import residual_dtype
+
+        rt = residual_dtype(a_sh.dtype)
+        sol = jnp.concatenate([e_pad[:, None], ainv_h_pad], axis=1)
+        rhs_full = jnp.concatenate(
+            [(y_pad.astype(rt) - h_pad.astype(rt) @ beta.astype(rt))[:, None],
+             h_pad.astype(rt)], axis=1,
+        )
+        a_r = a_sh.astype(rt)
+        hi = jax.lax.Precision.HIGHEST
+        for _ in range(refine):
+            # extended-precision residual (docs/numerics.md: working-
+            # precision residuals stall at the Skeel limit); the GEMM
+            # shards with a_sh's rows; padded tail rows have A = I and
+            # rhs = sol = 0, so they stay exactly zero
+            r = (rhs_full
+                 - jnp.matmul(a_r, sol.astype(rt), precision=hi)
+                 ).astype(sol.dtype)
+            fwd = distributed_tri_solve(l_pad, r, mesh, axis=axis, block=blk)
+            sol = sol + distributed_tri_solve(
+                l_pad, fwd, mesh, axis=axis, block=blk, trans=True
+            )
+        e_pad = sol[:, 0]
+        ainv_h_pad = sol[:, 1:]
     l = l_pad[:n, :n]
     return gp.FitState(
         params, l, lg, beta, e_pad[:n], sigma2, ainv_h_pad[:n],

@@ -41,6 +41,9 @@ def save_emulator(path, emul, *, extra: dict | None = None) -> None:
         "minmax": emul.splits.minmax,
         "n_folded": emul.n_folded,
         "mode": emul.mle_config.mode,
+        "family": emul.mle_config.family,
+        "nugget": emul.mle_config.nugget,
+        "train_nugget": emul.mle_config.train_nugget,
         "include_const": emul.spec.include_const,
         "linear_dims": list(emul.spec.linear_dims),
         "active": emul.active,
@@ -67,8 +70,14 @@ def load_emulator(path):
         [tuple(r) for r in meta["v_ranges"]],
     )
     spec = BasisSpec(meta["include_const"], tuple(meta["linear_dims"]))
+    family = meta.get("family", "gaussian")
     emul = Emulator(
-        splits, spec, meta["active"], MLEConfig(mode=meta["mode"]),
+        splits, spec, meta["active"],
+        MLEConfig(
+            mode=meta["mode"], family=family,
+            nugget=meta.get("nugget", 1e-8),
+            train_nugget=meta.get("train_nugget", False),
+        ),
         n_folded=meta["n_folded"],
     )
     if "log_delta" in arrays:
@@ -78,7 +87,8 @@ def load_emulator(path):
             jnp.asarray(arrays["log_nugget"]),
         )
         x, y, h = emul.train_view()
-        emul.state = gp.fit(emul.params, x, y, h, mode=meta["mode"])
+        emul.state = gp.fit(emul.params, x, y, h, mode=meta["mode"],
+                            family=family)
     return emul
 
 

@@ -91,7 +91,7 @@ def test_sharded_chains_match_unsharded():
     def logdensity(z):
         return -0.5 * jnp.sum(z * z / var)
 
-    cfg = HMCConfig(n_warmup=300, n_samples=400, n_leapfrog=8)
+    cfg = HMCConfig(n_warmup=400, n_samples=700, n_leapfrog=8)
     n_chains = 16
     z0 = jax.random.normal(jax.random.key(7), (n_chains, 2), jnp.float64)
 
@@ -115,6 +115,45 @@ def test_sharded_chains_match_unsharded():
     np.testing.assert_allclose(flat.var(0), np.asarray(var), rtol=0.35)
     # cross-chain adaptation produced a single consistent step size
     assert float(stats_sh["accept_rate"]) > 0.5
+
+
+def test_sharded_shards_decorrelated():
+    """Shards fed IDENTICAL local z0 must still produce distinct chains.
+
+    Regression for the round-1 RNG bug: the same key reaches every shard
+    under in_specs=(P(), P("chains")); without fold_in(axis_index) each
+    device replays the same momenta/uniforms and the mesh runs 8 copies of
+    the same trajectories. Moment tests cannot catch that — direct
+    inter-shard comparison can.
+    """
+
+    def logdensity(z):
+        return -0.5 * jnp.sum(z * z)
+
+    cfg = HMCConfig(n_warmup=20, n_samples=30, n_leapfrog=4)
+    devices = jax.devices()
+    n_dev = len(devices)
+    per_shard = 2
+    # identical starting positions on every shard
+    z_local = jnp.asarray([[0.5, -0.5], [1.0, 0.25]], jnp.float64)
+    z0 = jnp.tile(z_local, (n_dev, 1))
+    mesh = Mesh(np.array(devices), ("chains",))
+
+    def run(key, z0):
+        return jax.shard_map(
+            lambda k, z: hmc_sample(k, logdensity, z, cfg, axis_name="chains"),
+            mesh=mesh, in_specs=(P(), P("chains")),
+            out_specs=(P("chains"), P()), check_vma=False,
+        )(key, z0)
+
+    samples, _ = jax.jit(run)(jax.random.key(11), z0)
+    s = np.asarray(samples).reshape(n_dev, per_shard, -1)
+    for a in range(n_dev):
+        for b in range(a + 1, n_dev):
+            assert not np.allclose(s[a], s[b]), (
+                f"shards {a} and {b} produced identical trajectories: "
+                "per-shard RNG is correlated"
+            )
 
 
 def test_config4_sharded_gp_hmc():

@@ -26,6 +26,26 @@ def test_emulator_checkpoint_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(var1), np.asarray(var2), rtol=1e-8)
 
 
+def test_emulator_checkpoint_preserves_family(tmp_path):
+    """Regression (ADVICE r1): a matern52 fit must NOT restore as gaussian."""
+    rng = np.random.default_rng(2)
+    x = rng.uniform(size=(40, 2))
+    y = np.sin(3 * x[:, 0]) + x[:, 1]
+    emul = g.Emulator.from_arrays(x, y, tries=3, seed=1, kernel="matern52")
+    emul.train_full()
+    xq = np.array([[0.3, 0.7], [0.6, 0.1], [0.9, 0.9]])
+    mean1, var1 = emul.predict(xq)
+
+    save_emulator(tmp_path / "ckf", emul)
+    emul2 = load_emulator(tmp_path / "ckf")
+    assert emul2.mle_config.family == "matern52"
+    mean2, var2 = emul2.predict(xq)
+    np.testing.assert_allclose(np.asarray(mean1), np.asarray(mean2), rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(var1), np.asarray(var2), rtol=1e-8)
+    # beliefs write-back records the family too (ADVICE r1 low)
+    assert emul2.updated_beliefs().kernel == "matern52()"
+
+
 def test_hmc_state_roundtrip(tmp_path):
     z = np.random.default_rng(1).standard_normal((4, 3))
     key = jax.random.key(42)

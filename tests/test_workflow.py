@@ -46,11 +46,16 @@ class TestConfigFiles:
         assert bel2.delta == pytest.approx([0.123456])
         assert bel2.kernel.startswith("gaussian")
 
-    def test_non_gaussian_kernel_rejected(self, tmp_path):
+    def test_unknown_kernel_rejected(self, tmp_path):
         p = tmp_path / "b"
-        p.write_text("kernel matern()\n")
-        with pytest.raises(ValueError, match="Gaussian"):
+        p.write_text("kernel matern()\n")  # ambiguous: must name 52/32
+        with pytest.raises(ValueError, match="unsupported kernel"):
             Beliefs.from_file(p)
+
+    def test_kernel_family_aliases(self, tmp_path):
+        p = tmp_path / "b2"
+        p.write_text("kernel matern_5_2()\n")
+        assert Beliefs.from_file(p).kernel_family() == "matern52"
 
     def test_bounds_parsing(self, tmp_path):
         p = tmp_path / "c"
@@ -181,6 +186,34 @@ class TestBayesFacade:
         m2, v2 = gpmod.predict_batched(pred, x, xs, hs, batch=32)
         np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), rtol=1e-12)
         np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-3, atol=1e-12)
+
+    def test_predict_batched_threads_family(self):
+        """Regression (ADVICE r1): batched serving of a matern52 fit must use
+        matern52 cross-correlations, not silently fall back to gaussian."""
+        import jax.numpy as jnp
+        from gp_emu_uqsa_tpu import gp as gpmod
+        from gp_emu_uqsa_tpu.basis import basis_matrix, linear_basis
+        from gp_emu_uqsa_tpu.kernels import make_params
+
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(rng.uniform(size=(30, 2)))
+        y = jnp.sin(3 * x[:, 0]) + x[:, 1]
+        spec = linear_basis(2)
+        h = basis_matrix(x, spec)
+        fam = "matern52"
+        st = gpmod.fit(make_params([0.5, 0.7], nugget=1e-6, dtype=jnp.float64),
+                       x, y, h, family=fam)
+        pred = gpmod.predictor(st)
+        xs = jnp.asarray(rng.uniform(size=(100, 2)))
+        hs = basis_matrix(xs, spec)
+        m1, v1 = gpmod.predict_fast(pred, x, xs, hs, family=fam)
+        m2, v2 = gpmod.predict_batched(pred, x, xs, hs, batch=32, family=fam)
+        np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), rtol=1e-12)
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(v2), rtol=1e-3,
+                                   atol=1e-12)
+        # and it must DIFFER from the gaussian-family result
+        mg, _ = gpmod.predict_batched(pred, x, xs, hs, batch=32)
+        assert not np.allclose(np.asarray(m2), np.asarray(mg))
 
 
 class TestActiveAndInteractive:
