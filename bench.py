@@ -60,7 +60,7 @@ def _problem(n=N_TRAIN, m=N_PRED, d=DIM):
 # relay is down even `import jax` hangs in sitecustomize registration)
 # --------------------------------------------------------------------------
 
-def _tpu_relay_alive(timeout_s: float = 90.0) -> bool:
+def _tpu_relay_alive(timeout_s: float = 150.0) -> bool:
     """Probe the remote-TPU relay in a SUBPROCESS with a hard timeout.
 
     A tiny matmul is forced through the device to catch relays that accept
