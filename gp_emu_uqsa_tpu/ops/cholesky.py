@@ -139,6 +139,10 @@ def blocked_cholesky(a: jax.Array, leaf: int = 512) -> jax.Array:
         l21, l21,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=a.dtype,
+        # HIGHEST: TPU's default f32 dot is a single bf16 pass — an 8-bit
+        # mantissa on the trailing update wrecks the factor; bf16x6 keeps
+        # fp32 accuracy (the roofline judges against the fp32 roof)
+        precision=lax.Precision.HIGHEST,
     )
     l22 = blocked_cholesky(a22 - update, leaf)
     zeros = jnp.zeros_like(a[..., :half, half:])
@@ -176,6 +180,42 @@ def tri_solve(l: jax.Array, b: jax.Array, *, trans: bool = False) -> jax.Array:
     return lax.linalg.triangular_solve(
         l, b, left_side=True, lower=True, transpose_a=trans
     )
+
+
+def blocked_tri_solve(l: jax.Array, b: jax.Array, *, trans: bool = False,
+                      leaf: int = 1024) -> jax.Array:
+    """tri_solve via trace-time blocked recursion (GEMM-dominated TRSM).
+
+    XLA:TPU's one-shot triangular_solve with a large RHS (e.g. the
+    (16384, 16384) identity in `gp.predictor`) lowers to a
+    dynamic-update-slice chain whose temporaries it keeps live — measured
+    65 GB of HBM temps at n=16k on v5e (round-2 bench, HBM is 16 GB).
+    Splitting L as [[L11, 0], [L21, L22]]:
+
+        X1 = L11^-1 B1
+        X2 = L22^-1 (B2 - L21 X1)         (and mirrored for L^T)
+
+    keeps each leaf solve's working set at (leaf, m) and turns the bulk of
+    the FLOPs into fp32-accurate MXU GEMMs, like `blocked_cholesky`.
+    """
+    n = l.shape[-1]
+    if n <= leaf:
+        return tri_solve(l, b, trans=trans)
+    half = n // 2
+    l11 = l[..., :half, :half]
+    l21 = l[..., half:, :half]
+    l22 = l[..., half:, half:]
+    b1 = b[..., :half, :]
+    b2 = b[..., half:, :]
+    mm = partial(jnp.matmul, precision=lax.Precision.HIGHEST)
+    if not trans:
+        x1 = blocked_tri_solve(l11, b1, trans=False, leaf=leaf)
+        x2 = blocked_tri_solve(l22, b2 - mm(l21, x1), trans=False, leaf=leaf)
+    else:
+        # L^T = [[L11^T, L21^T], [0, L22^T]]
+        x2 = blocked_tri_solve(l22, b2, trans=True, leaf=leaf)
+        x1 = blocked_tri_solve(l11, b1 - mm(l21.mT, x2), trans=True, leaf=leaf)
+    return jnp.concatenate([x1, x2], axis=-2)
 
 
 def cho_solve(l: jax.Array, b: jax.Array) -> jax.Array:

@@ -95,10 +95,6 @@ def measure(n: int = 4096, d: int = 8, m: int = 8192, dtype=None):
     chol_xla = jax.jit(lambda a: lax.linalg.cholesky(a, symmetrize_input=False))
     chol_blk = jax.jit(lambda a: cholesky_blocked_padded(a, leaf=512))
     fit = jax.jit(lambda p, x, y, h: gp.fit(p, x, y, h))
-    state = fit(params, x, y, h)
-    pred = jax.jit(gp.predictor)(state)
-    float(pred.sigma2)
-    predict = jax.jit(gp.predict_fast)
 
     results = {}
 
@@ -112,18 +108,28 @@ def measure(n: int = 4096, d: int = 8, m: int = 8192, dtype=None):
             entry["pct_of_bf16_roof"] = round(100 * tf * 1e12 / peak["bf16"], 1)
         results[name] = entry
 
+    # north-star numbers first: a failure in the predictor-dependent ops
+    # below (e.g. OOM on a fragile relay) must not lose these
     add("kernel_build", _time(lambda: build(x), lambda o: float(o[0, 0])),
         2 * n * n * d)
     add("cholesky_xla", _time(lambda: chol_xla(a), lambda o: float(o[n - 1, n - 1])),
         n**3 / 3)
     add("cholesky_blocked", _time(lambda: chol_blk(a), lambda o: float(o[n - 1, n - 1])),
         n**3 / 3)
+    state = fit(params, x, y, h)
     add("fit_total", _time(lambda: fit(params, x, y, h), lambda o: float(o.nll)),
         n**3 / 3 + 2 * n * n * d)
-    # dominant predict cost: the (m, n) x (n, n) A^-1 GEMM
-    add("predict_fast", _time(lambda: predict(pred, x, xs, hs),
-                              lambda o: float(o[1][-1])),
-        2 * m * n * n)
+    try:
+        pred = jax.jit(gp.predictor)(state)
+        float(pred.sigma2)
+        predict = jax.jit(gp.predict_fast)
+        # dominant predict cost: the (m, n) x (n, n) A^-1 GEMM
+        add("predict_fast", _time(lambda: predict(pred, x, xs, hs),
+                                  lambda o: float(o[1][-1])),
+            2 * m * n * n)
+    except Exception as e:  # keep the already-captured numbers
+        results["predict_fast_error"] = repr(e)[:200]
+        pred = None
     try:
         from gp_emu_uqsa_tpu.ops.kernel_matrix import gaussian_corr_self_pallas
 
