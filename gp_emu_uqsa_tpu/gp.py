@@ -35,6 +35,7 @@ from jax import lax
 
 from gp_emu_uqsa_tpu.kernels import GPParams, corr, corr_self, gaussian_corr_self
 from gp_emu_uqsa_tpu.ops.cholesky import cholesky_with_jitter, tri_solve
+from gp_emu_uqsa_tpu.ops.precision import fp32_exact
 
 _LOG2PI = 1.8378770664093453
 
@@ -56,6 +57,7 @@ class FitState(NamedTuple):
     nll: jax.Array        # ()     NLL at these params
 
 
+@fp32_exact
 def _common(params: GPParams, x, y, h, noise_diag=None, ladder=True,
             family: str = "gaussian"):
     """Shared pipeline: factorize A, whiten y and H, GLS beta, residual.
@@ -133,6 +135,7 @@ def _nll_mucm_fwd(params, x, y, h, ladder=True):
     return _guard(nll), (params, x, l, linv_h, lg, e, resid)
 
 
+@fp32_exact
 def _nll_mucm_bwd(ladder, res, ct):
     """Analytic adjoint (SURVEY.md S9.4 'custom VJP re-using the factor').
 
@@ -221,6 +224,7 @@ def nll(params: GPParams, x, y, h, *, mode: str = "mucm",
     raise ValueError(f"unknown likelihood mode {mode!r}")
 
 
+@fp32_exact
 def fit(params: GPParams, x, y, h, *, mode: str = "mucm",
         noise_diag=None, family: str = "gaussian",
         refine: int = 0) -> FitState:
@@ -281,6 +285,7 @@ def fit(params: GPParams, x, y, h, *, mode: str = "mucm",
     return FitState(params, l, lg, beta, e, sigma2, ainv_h, jitter, _guard(nll_val))
 
 
+@fp32_exact
 def _posterior_pieces(state: FitState, x, h, xstar, hstar,
                       family: str = "gaussian"):
     """Cross-correlation and whitened solves shared by mean/var paths."""
@@ -292,6 +297,7 @@ def _posterior_pieces(state: FitState, x, h, xstar, hstar,
     return c_star, mean, linv_t, r, lg_inv_r
 
 
+@fp32_exact
 def predict(
     state: FitState,
     x,
@@ -349,6 +355,7 @@ class Predictor(NamedTuple):
     sigma2: jax.Array
 
 
+@fp32_exact
 def predictor(state: FitState, x=None, h=None) -> Predictor:
     """Build the GEMM-only serving predictor from a fit state."""
     n = state.l.shape[0]
@@ -373,6 +380,7 @@ def predictor(state: FitState, x=None, h=None) -> Predictor:
     )
 
 
+@fp32_exact
 def predict_fast(pred: Predictor, x, xstar, hstar, *, include_nugget=False,
                  family: str = "gaussian"):
     """Batched posterior mean/var via GEMMs only (serving hot path).
@@ -393,6 +401,7 @@ def predict_fast(pred: Predictor, x, xstar, hstar, *, include_nugget=False,
     return mean, var
 
 
+@fp32_exact
 def predict_batched(pred: Predictor, x, xstar, hstar, *, batch: int = 65536,
                     include_nugget: bool = False, family: str = "gaussian"):
     """predict_fast over query chunks: bounds peak memory at O(batch * n).
@@ -423,6 +432,7 @@ def predict_batched(pred: Predictor, x, xstar, hstar, *, batch: int = 65536,
     return means.reshape(m_pad)[:m], variances.reshape(m_pad)[:m]
 
 
+@fp32_exact
 def sample_posterior(key, state: FitState, x, h, xstar, hstar, n_draws: int = 1,
                      *, include_nugget: bool = False, student_t: bool = True,
                      family: str = "gaussian"):
@@ -464,6 +474,7 @@ def sample_posterior(key, state: FitState, x, h, xstar, hstar, n_draws: int = 1,
     return mean[None, :] + colored
 
 
+@fp32_exact
 def validate(state: FitState, x, h, xv, hv, yv, family: str = "gaussian"):
     """Held-out validation diagnostics (reference `Posterior` diagnostics).
 
@@ -492,6 +503,7 @@ def validate(state: FitState, x, h, xv, hv, yv, family: str = "gaussian"):
     }
 
 
+@fp32_exact
 def loo_diagnostics(state: FitState, x, h, y):
     """Leave-one-out cross-validation means/variances from one factorization.
 

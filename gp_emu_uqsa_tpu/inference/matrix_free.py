@@ -35,6 +35,7 @@ from gp_emu_uqsa_tpu.ops.cg import (
     cg_solve, make_corr_matvec, pivoted_cholesky, woodbury_ops,
 )
 from gp_emu_uqsa_tpu.ops.slq import slq_logdet, slq_logdet_preconditioned
+from gp_emu_uqsa_tpu.ops.precision import fp32_exact
 
 
 @dataclasses.dataclass(frozen=True)
@@ -47,6 +48,7 @@ class MFConfig:
     precond_rank: int = 0        # >0: pivoted-Cholesky PCG (ops/cg.py)
 
 
+@fp32_exact
 def nll_and_grad_matrix_free(params: GPParams, x, y, h, key,
                              cfg: MFConfig = MFConfig()):
     """Concentrated NLL estimate + stochastic gradient, matrix-free.
@@ -173,6 +175,7 @@ def nll_and_grad_matrix_free(params: GPParams, x, y, h, key,
     return nll, grads, aux
 
 
+@fp32_exact
 def mle_fit_matrix_free(key, x, y, h, *, steps: int = 150,
                         learning_rate: float = 0.05,
                         init: GPParams | None = None,

@@ -90,7 +90,8 @@ def _kernel(local, *, g: int, block: int, p_r: int, p_c: int,
         pcol = lfull[gj]                                   # (Glc, B, B)
         # 4. trailing update, column-masked to j > k (static shapes)
         upd = jnp.einsum("apq,brq->abpr", prow, pcol,
-                         preferred_element_type=loc.dtype)
+                         preferred_element_type=loc.dtype,
+                         precision=lax.Precision.HIGHEST)
         loc = loc - jnp.where((gj > k)[None, :, None, None], upd, 0.0)
         return loc
 

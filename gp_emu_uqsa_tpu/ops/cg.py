@@ -27,8 +27,10 @@ import jax.numpy as jnp
 from jax import lax
 
 from gp_emu_uqsa_tpu.kernels import GPParams, gaussian_corr
+from gp_emu_uqsa_tpu.ops.precision import fp32_exact
 
 
+@fp32_exact
 def make_corr_matvec(x, params: GPParams, *, noise_diag=None,
                      chunk: int = 4096):
     """Matvec closure v -> (C(x,x) + (nugget + noise) I) v, O(chunk*n) memory.
@@ -60,6 +62,7 @@ def make_corr_matvec(x, params: GPParams, *, noise_diag=None,
 
 
 @partial(jax.jit, static_argnames=("matvec", "maxiter", "precond"))
+@fp32_exact
 def cg_solve(matvec, b, *, tol: float = 1e-6, maxiter: int = 256,
              precond=None):
     """Batched (preconditioned) conjugate gradients, column-independent.
@@ -108,6 +111,7 @@ def cg_solve(matvec, b, *, tol: float = 1e-6, maxiter: int = 256,
     return (x[:, 0] if squeeze else x), info
 
 
+@fp32_exact
 def pivoted_cholesky(x, params: GPParams, rank: int):
     """Rank-r pivoted (partial) Cholesky of the correlation matrix.
 
@@ -140,6 +144,7 @@ def pivoted_cholesky(x, params: GPParams, rank: int):
     return l, pivots
 
 
+@fp32_exact
 def woodbury_ops(l, d):
     """Factored operators for M = L L^T + diag(d)  (preconditioner algebra).
 
@@ -218,6 +223,7 @@ def pivoted_chol_precond(x, params: GPParams, rank: int = 64,
     return apply_m
 
 
+@fp32_exact
 def fit_matrix_free(params: GPParams, x, y, h, *, noise_diag=None,
                     chunk: int = 4096, tol: float = 1e-6, maxiter: int = 512,
                     precond_rank: int = 0):
@@ -253,6 +259,7 @@ def fit_matrix_free(params: GPParams, x, y, h, *, noise_diag=None,
             "ainv_h": ainv_h}
 
 
+@fp32_exact
 def predict_mean_matrix_free(fit: dict, x, xstar, hstar, params: GPParams,
                              *, chunk: int = 65536):
     """Posterior mean at xstar from a fit_matrix_free result.

@@ -55,6 +55,7 @@ def _dist_chol_impl(a, *, block: int, axis_name: str | None):
             lcol, lcol,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=a.dtype,
+            precision=lax.Precision.HIGHEST,
         )
         trailing = cols >= off + block
         a = a - jnp.where(trailing, update, 0.0)
@@ -150,6 +151,7 @@ def _rec_chol(a, shard, leaf: int):
         l21, l21,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=a.dtype,
+        precision=lax.Precision.HIGHEST,
     )
     l22 = _rec_chol(shard(a22 - update), shard, leaf)
     zeros = jnp.zeros((half, n - half), a.dtype)

@@ -21,8 +21,10 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax import lax
+from gp_emu_uqsa_tpu.ops.precision import fp32_exact
 
 
+@fp32_exact
 def lanczos(matvec, v0, k: int):
     """k-step Lanczos with full reorthogonalization.
 
@@ -84,6 +86,7 @@ def _logdet_quadrature(alphas, betas, znorm2):
     return znorm2 * jnp.sum(w1 * jnp.log(lam_safe))
 
 
+@fp32_exact
 def slq_logdet(matvec, n: int, key, *, num_probes: int = 16, k: int = 32,
                dtype=jnp.float64):
     """Estimate log|A| for SPD A given only matvecs.
@@ -100,6 +103,7 @@ def slq_logdet(matvec, n: int, key, *, num_probes: int = 16, k: int = 32,
     return jnp.mean(jax.vmap(one)(z))
 
 
+@fp32_exact
 def slq_logdet_preconditioned(matvec, wops: dict, n: int, key, *,
                               num_probes: int = 16, k: int = 32,
                               dtype=jnp.float64):

@@ -21,10 +21,12 @@ from gp_emu_uqsa_tpu.ops.distributed_cholesky import (
     _dist_chol_impl, _rec_chol, distributed_tri_solve,
 )
 from gp_emu_uqsa_tpu.parallel.sharded_gp import build_corr_sharded
+from gp_emu_uqsa_tpu.ops.precision import fp32_exact
 
 _LOG2PI = 1.8378770664093453
 
 
+@fp32_exact
 def fit_large(
     params: GPParams,
     x,

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from gp_emu_uqsa_tpu import gp
+from gp_emu_uqsa_tpu.ops.precision import fp32_exact
 
 
 def pad_to_multiple(a, mult, axis=0):
@@ -35,6 +36,7 @@ def pad_to_multiple(a, mult, axis=0):
     return jnp.pad(a, pad), n
 
 
+@fp32_exact
 def predict_sharded(
     state: gp.FitState,
     x,

@@ -31,8 +31,10 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from gp_emu_uqsa_tpu import gp
 from gp_emu_uqsa_tpu.kernels import gaussian_corr
 from gp_emu_uqsa_tpu.parallel.predict import pad_to_multiple
+from gp_emu_uqsa_tpu.ops.precision import fp32_exact
 
 
+@fp32_exact
 def ring_predict(
     pred: gp.Predictor,
     x,

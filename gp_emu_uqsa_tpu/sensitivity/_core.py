@@ -74,6 +74,7 @@ import numpy as np
 from gp_emu_uqsa_tpu import gp
 from gp_emu_uqsa_tpu.basis import BasisSpec
 from gp_emu_uqsa_tpu.ops.cholesky import tri_solve
+from gp_emu_uqsa_tpu.ops.precision import fp32_exact
 
 
 class Sensitivity:
@@ -91,6 +92,7 @@ class Sensitivity:
         `fix_mean` semantics.
     """
 
+    @fp32_exact
     def __init__(self, state: gp.FitState, x, spec: BasisSpec, m, v,
                  beta: Optional[np.ndarray] = None):
         self.state = state
@@ -151,6 +153,7 @@ class Sensitivity:
 
     # --- subset machinery (cancellation-free delta forms) --------------------
 
+    @fp32_exact
     def _log_rho_sum(self, w: Sequence[int]) -> jax.Array:
         r"""sum_{l in w} log rho_l[j,k] without the (d, n, n) tensor.
 
@@ -187,6 +190,7 @@ class Sensitivity:
         const = jnp.sum(jnp.log(self.s2[idx]))
         return const + term_a + term_b - li[:, None] - li[None, :]
 
+    @fp32_exact
     def _delta_mats(self, w: Sequence[int]):
         """(dU, dS, dQ, dCbar) for subset w — exact w-minus-base differences."""
         w = [int(i) for i in w]
@@ -216,6 +220,7 @@ class Sensitivity:
         dcbar = -cbar_rest * jnp.expm1(jnp.sum(jnp.where(in_w, log_s2, 0.0)))
         return du, ds, dq, dcbar
 
+    @fp32_exact
     def _cbar_w(self, w: Sequence[int]) -> jax.Array:
         """Cbar_w = prod_{l not in w} K0_l."""
         log_s2 = jnp.log(self.s2)
@@ -226,6 +231,7 @@ class Sensitivity:
 
     # --- public API ----------------------------------------------------------
 
+    @fp32_exact
     def _base(self):
         """(M_0, v_0*) for the empty subset, via stable whitened solves."""
         if self._m0_v0 is None:
@@ -240,6 +246,7 @@ class Sensitivity:
             self._m0_v0 = (m0, self.sigma2 * v0)
         return self._m0_v0
 
+    @fp32_exact
     def uncertainty(self) -> dict:
         """Posterior UQ of E[Y]: E*[E(Y)], V*[E(Y)], and E*[Var(Y)].
 
@@ -252,12 +259,14 @@ class Sensitivity:
             "E_VarY": self.total_variance(),
         }
 
+    @fp32_exact
     def total_variance(self) -> jax.Array:
         """E*[Var(Y)] — the w = all-dims sensitivity variance."""
         if self._total is None:
             self._total = self.sensitivity_variance(tuple(range(self.d)))
         return self._total
 
+    @fp32_exact
     def sensitivity_variance(self, w: Sequence[int]) -> jax.Array:
         """E*(V_w) = E*[Var(E[Y|x_w])] for an arbitrary subset w."""
         du, ds, dq, dcbar = self._delta_mats(w)
@@ -291,6 +300,7 @@ class Sensitivity:
 
     # --- effect curves -------------------------------------------------------
 
+    @fp32_exact
     def _t_w_grid(self, w: Sequence[int], grid: jax.Array) -> jax.Array:
         """T_w rows for grid points over dims w; grid (G, |w|) -> (G, n)."""
         w = list(w)
@@ -303,6 +313,7 @@ class Sensitivity:
             lg = lg - diff * diff / self.delta2[l]
         return jnp.exp(lg + log_t_rest[None, :])
 
+    @fp32_exact
     def _r_w_grid(self, w: Sequence[int], grid: jax.Array) -> jax.Array:
         """R_w rows at grid points, (G, q_mean)."""
         wl = {int(l): c for c, l in enumerate(w)}
@@ -318,6 +329,7 @@ class Sensitivity:
                 cols.append(one * self.m[c])
         return jnp.stack(cols, 1) if cols else jnp.zeros((g_n, 0), self.t_vec.dtype)
 
+    @fp32_exact
     def effect_curve(self, w: Sequence[int], grid) -> tuple[jax.Array, jax.Array]:
         """Posterior mean and variance of E[Y | x_w] on grid points.
 
