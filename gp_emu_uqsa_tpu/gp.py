@@ -358,18 +358,13 @@ class Predictor(NamedTuple):
 @fp32_exact
 def predictor(state: FitState, x=None, h=None) -> Predictor:
     """Build the GEMM-only serving predictor from a fit state."""
-    n = state.l.shape[0]
     dtype = state.l.dtype
-    if n > 4096:
-        # one-shot TRSM with an (n, n) RHS OOMs XLA:TPU at n=16k (65 GB of
-        # update-slice temps on a 16 GB chip); the blocked recursion keeps
-        # the working set bounded and the FLOPs on the MXU
-        from gp_emu_uqsa_tpu.ops.cholesky import blocked_tri_solve
+    # OOM-safe inversion: one-shot (n, n) TRSM blows up XLA:TPU at n=16k
+    # (65 GB of update-slice temps on a 16 GB chip); spd_inverse_from_chol
+    # switches to the blocked recursion above BLOCKED_TRSM_THRESHOLD
+    from gp_emu_uqsa_tpu.ops.cholesky import spd_inverse_from_chol
 
-        linv = blocked_tri_solve(state.l, jnp.eye(n, dtype=dtype))
-    else:
-        linv = tri_solve(state.l, jnp.eye(n, dtype=dtype))
-    ainv = linv.T @ linv
+    ainv = spd_inverse_from_chol(state.l)
     q = state.lg.shape[0]
     lg_inv = tri_solve(state.lg, jnp.eye(q, dtype=dtype))
     w = lg_inv.T @ lg_inv                      # G^-1

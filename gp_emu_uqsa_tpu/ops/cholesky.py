@@ -223,6 +223,34 @@ def cho_solve(l: jax.Array, b: jax.Array) -> jax.Array:
     return tri_solve(l, tri_solve(l, b), trans=True)
 
 
+# one-shot TRSM with an (n, n) RHS OOMs XLA:TPU at n=16k (65 GB of
+# update-slice temps on a 16 GB chip, measured round-2 bench); above this
+# threshold inversions switch to the blocked recursion
+BLOCKED_TRSM_THRESHOLD = 4096
+
+
+def tri_inverse(l: jax.Array) -> jax.Array:
+    """L^-1 for lower-triangular L, safe at large n on TPU.
+
+    Small n uses XLA's one-shot TRSM; past BLOCKED_TRSM_THRESHOLD the
+    blocked recursion keeps the working set bounded and the FLOPs on the
+    MXU (see `blocked_tri_solve`). Shared by `gp.predictor` and
+    `sensitivity.Sensitivity` so every A^-1 materialization in the
+    framework takes the OOM-safe path.
+    """
+    n = l.shape[-1]
+    eye = jnp.eye(n, dtype=l.dtype)
+    if n > BLOCKED_TRSM_THRESHOLD:
+        return blocked_tri_solve(l, eye)
+    return tri_solve(l, eye)
+
+
+def spd_inverse_from_chol(l: jax.Array) -> jax.Array:
+    """(L L^T)^-1 = L^-T L^-1 via `tri_inverse` (OOM-safe at large n)."""
+    linv = tri_inverse(l)
+    return jnp.matmul(linv.mT, linv, precision=lax.Precision.HIGHEST)
+
+
 def residual_dtype(dtype) -> jnp.dtype:
     """Extended precision for iterative-refinement residuals.
 
