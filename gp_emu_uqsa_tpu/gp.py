@@ -237,11 +237,11 @@ def fit(params: GPParams, x, y, h, *, mode: str = "mucm",
     `refine`: mixed-precision iterative-refinement sweeps on the A-solves
     for e and A^-1 H (the quantities every downstream prediction reuses).
     The fp32-at-scale path (n >= 8k on TPU) should pass refine=1: each
-    sweep costs one n^2 (q+1) extended-precision residual GEMM (fp64,
-    VPU-emulated on TPU; needs jax_enable_x64 for full effect — see
-    ops/cholesky.py::residual_dtype) + one cho_solve — O(n^2) vs the
-    O(n^3/3) factorization — and cuts the solve's forward error by
-    ~kappa(A) * eps_f32 per sweep (docs/numerics.md has the budget).
+    sweep costs one n^2 (q+1) twice-working-precision residual (fp32 work:
+    compensated-fp32 Dot2, ops/compensated.py — no fp64 unit or
+    jax_enable_x64 needed; fp64 work: fp64 GEMM) + one cho_solve —
+    O(n^2) vs the O(n^3/3) factorization — and cuts the solve's forward
+    error by ~kappa(A) * eps_f32 per sweep (docs/numerics.md).
     """
     n, q = h.shape[0], h.shape[1]
     (a, l, jitter, linv_y, linv_h, lg, beta, resid, logdet_a, logdet_g) = _common(
@@ -263,23 +263,41 @@ def fit(params: GPParams, x, y, h, *, mode: str = "mucm",
     if refine:
         # mixed-precision iterative refinement on A_eff [e | A^-1 H] =
         # [y-Hb | H], A_eff = a + jitter I (what the factor factorizes).
-        # Residual in extended precision: in working precision the sweep
-        # stalls at the Skeel limit (docs/numerics.md, Wilkinson).
-        from gp_emu_uqsa_tpu.ops.cholesky import cho_solve, residual_dtype
+        # Residual at ~twice working precision: in working precision the
+        # sweep stalls at the Skeel limit (docs/numerics.md, Wilkinson).
+        from gp_emu_uqsa_tpu.ops.cholesky import cho_solve
 
-        rt = residual_dtype(a.dtype)
-        a_r = a.astype(rt)
-        jit_r = jitter.astype(rt)
-        rhs = jnp.concatenate(
-            [(y.astype(rt) - h.astype(rt) @ beta.astype(rt))[:, None],
-             h.astype(rt)], axis=1,
-        )
-        hi = lax.Precision.HIGHEST
-        for _ in range(refine):
-            back_r = back.astype(rt)
-            r = (rhs - (jnp.matmul(a_r, back_r, precision=hi)
-                        + jit_r * back_r)).astype(back.dtype)
-            back = back + cho_solve(l, r)
+        if a.dtype == jnp.float64:
+            rt = jnp.float64
+            a_r = a.astype(rt)
+            jit_r = jitter.astype(rt)
+            rhs = jnp.concatenate(
+                [(y.astype(rt) - h.astype(rt) @ beta.astype(rt))[:, None],
+                 h.astype(rt)], axis=1,
+            )
+            hi = lax.Precision.HIGHEST
+            for _ in range(refine):
+                back_r = back.astype(rt)
+                r = (rhs - (jnp.matmul(a_r, back_r, precision=hi)
+                            + jit_r * back_r)).astype(back.dtype)
+                back = back + cho_solve(l, r)
+        else:
+            # compensated-fp32 path (no fp64 unit / x64 flag needed):
+            # the y - H beta RHS itself is formed as a double-word pair
+            # via Dot2 so its formation rounding does not cap the floor
+            from gp_emu_uqsa_tpu.ops.compensated import (
+                residual_compensated, two_sum, dot2,
+            )
+
+            hb_hi, hb_lo = dot2(h, beta)
+            s0, e0 = two_sum(y, -hb_hi)
+            rhs_hi = jnp.concatenate([s0[:, None], h], axis=1)
+            rhs_lo = jnp.concatenate(
+                [(e0 - hb_lo)[:, None], jnp.zeros_like(h)], axis=1)
+            for _ in range(refine):
+                r = residual_compensated(a, back, rhs_hi, jitter=jitter,
+                                         b_lo=rhs_lo)
+                back = back + cho_solve(l, r)
     e = back[:, 0]
     ainv_h = back[:, 1:]
     return FitState(params, l, lg, beta, e, sigma2, ainv_h, jitter, _guard(nll_val))

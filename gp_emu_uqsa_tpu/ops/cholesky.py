@@ -252,7 +252,7 @@ def spd_inverse_from_chol(l: jax.Array) -> jax.Array:
 
 
 def residual_dtype(dtype) -> jnp.dtype:
-    """Extended precision for iterative-refinement residuals.
+    """Extended precision for fp64-work iterative-refinement residuals.
 
     Wilkinson's condition: IR converges in FORWARD error only when the
     residual r = b - A x is computed at (roughly) twice the working
@@ -261,13 +261,11 @@ def residual_dtype(dtype) -> jnp.dtype:
     the GEMM's own accumulation rounding, and the sweep stalls at the
     Skeel limit (measured: a ~1.6x one-off gain, docs/numerics.md).
 
-    fp32 work -> fp64 residual. On TPU there is no fp64 MXU path; XLA
-    emulates f64 on the VPU — slow per FLOP but the residual is O(n^2 k)
-    against the O(n^3/3) factorization, so it stays a rounding error in
-    the profile. Requires jax_enable_x64; when x64 is off the promotion
-    silently no-ops (jnp gives back f32) and refinement degrades to the
-    fixed-precision ~1.6x variant — documented, not an error. fp64 work
-    keeps fp64 residuals (no wider float exists; fp64 rarely needs IR).
+    fp32 work no longer routes through here: `cho_solve_refined` computes
+    fp32 residuals in COMPENSATED fp32 (ops/compensated.py), which needs
+    neither jax_enable_x64 nor an fp64 unit — the round-2 silent
+    degradation when x64 was off is gone. fp64 work keeps fp64 residuals
+    (no wider float exists; fp64 rarely needs IR).
     """
     del dtype
     return jnp.float64
@@ -281,23 +279,36 @@ def cho_solve_refined(l: jax.Array, a: jax.Array, b: jax.Array,
     ill-conditioned kernel matrix (clustered inputs, small nugget) loses
     ~log10(kappa) digits in the solve. Each refinement sweep
 
-        r = b - A x          (residual GEMM in EXTENDED precision, fp64)
+        r = b - A x          (residual at ~TWICE working precision)
         x <- x + (L L^T)^{-1} r   (correction reuses the fp32 factor)
 
     multiplies the solve's forward error by O(kappa * eps_f32) — measured
-    1.3e-3 -> 2.6e-6 -> 2.6e-8 at kappa~2.7e5 (docs/numerics.md). The fp64
-    residual GEMM is O(n^2 k) VPU-emulated work on TPU vs the O(n^3/3)
-    MXU factorization: negligible. The residual is rounded back to fp32
-    before the solve — only its RELATIVE accuracy matters (classical
-    mixed-precision IR). Tolerance budget: docs/numerics.md; test:
-    tests/test_fp32.py::test_refined_solve_error_bound_n4096.
+    1.3e-3 -> 2.6e-6 -> 2.6e-8 at kappa~2.7e5 (docs/numerics.md). For
+    fp32 work the residual is computed by the compensated-fp32 Dot2 path
+    (ops/compensated.py::residual_compensated) — error-free transforms,
+    ~48-bit effective precision, works with or without jax_enable_x64 on
+    every backend. fp64 work keeps an fp64 residual GEMM. Either way the
+    residual cost is O(n^2 k) against the O(n^3/3) factorization:
+    negligible. The residual is rounded back to working precision before
+    the solve — only its RELATIVE accuracy matters (classical
+    mixed-precision IR). Tolerance budget: docs/numerics.md; tests:
+    tests/test_fp32.py::test_refined_solve_error_bound_n4096,
+    tests/test_compensated.py (incl. an x64-off subprocess run).
     """
     x = cho_solve(l, b)
-    rt = residual_dtype(a.dtype)
-    a_r = a.astype(rt)
-    b_r = b.astype(rt)
+    if a.dtype == jnp.float64:
+        rt = residual_dtype(a.dtype)
+        a_r = a.astype(rt)
+        b_r = b.astype(rt)
+        for _ in range(iters):
+            r = (b_r - jnp.matmul(a_r, x.astype(rt),
+                                  precision=lax.Precision.HIGHEST)
+                 ).astype(a.dtype)
+            x = x + cho_solve(l, r)
+        return x
+    from gp_emu_uqsa_tpu.ops.compensated import residual_compensated
+
     for _ in range(iters):
-        r = (b_r - jnp.matmul(a_r, x.astype(rt),
-                              precision=lax.Precision.HIGHEST)).astype(a.dtype)
+        r = residual_compensated(a, x, b)
         x = x + cho_solve(l, r)
     return x

@@ -131,24 +131,46 @@ def fit_large(
         block=blk, trans=True,
     )
     if refine:
-        from gp_emu_uqsa_tpu.ops.cholesky import residual_dtype
-
-        rt = residual_dtype(a_sh.dtype)
         sol = jnp.concatenate([e_pad[:, None], ainv_h_pad], axis=1)
-        rhs_full = jnp.concatenate(
-            [(y_pad.astype(rt) - h_pad.astype(rt) @ beta.astype(rt))[:, None],
-             h_pad.astype(rt)], axis=1,
-        )
-        a_r = a_sh.astype(rt)
-        hi = jax.lax.Precision.HIGHEST
+        if a_sh.dtype == jnp.float64:
+            rt = jnp.float64
+            rhs_full = jnp.concatenate(
+                [(y_pad.astype(rt)
+                  - h_pad.astype(rt) @ beta.astype(rt))[:, None],
+                 h_pad.astype(rt)], axis=1,
+            )
+            a_r = a_sh.astype(rt)
+            hi = jax.lax.Precision.HIGHEST
+
+            def resid(sol):
+                # fp64 residual GEMM, sharded with a_sh's rows; padded
+                # tail rows have A = I and rhs = sol = 0 -> stay zero
+                return (rhs_full
+                        - jnp.matmul(a_r, sol.astype(rt), precision=hi)
+                        ).astype(sol.dtype)
+        else:
+            # compensated-fp32 residual (ops/compensated.py): elementwise
+            # + local tree reduce over the replicated contraction axis,
+            # shards with a_sh's rows, zero collectives, and needs no
+            # fp64 unit / x64 flag — the multi-chip path runs x64-off
+            from gp_emu_uqsa_tpu.ops.compensated import (
+                dot2, residual_compensated_sharded, two_sum,
+            )
+
+            hb_hi, hb_lo = dot2(h_pad, beta)
+            s0, e0 = two_sum(y_pad, -hb_hi)
+            rhs_hi = jnp.concatenate([s0[:, None], h_pad], axis=1)
+            rhs_lo = jnp.concatenate(
+                [(e0 - hb_lo)[:, None], jnp.zeros_like(h_pad)], axis=1)
+
+            def resid(sol):
+                return residual_compensated_sharded(
+                    a_sh, sol, rhs_hi, b_lo=rhs_lo)
+
         for _ in range(refine):
-            # extended-precision residual (docs/numerics.md: working-
-            # precision residuals stall at the Skeel limit); the GEMM
-            # shards with a_sh's rows; padded tail rows have A = I and
-            # rhs = sol = 0, so they stay exactly zero
-            r = (rhs_full
-                 - jnp.matmul(a_r, sol.astype(rt), precision=hi)
-                 ).astype(sol.dtype)
+            # twice-working-precision residual (docs/numerics.md:
+            # working-precision residuals stall at the Skeel limit)
+            r = resid(sol)
             fwd = distributed_tri_solve(l_pad, r, mesh, axis=axis, block=blk)
             sol = sol + distributed_tri_solve(
                 l_pad, fwd, mesh, axis=axis, block=blk, trans=True

@@ -181,3 +181,45 @@ def test_fit_large_matches_local():
     # the masked-panel factorization path stays equivalent
     st_p = fit_large(p, x, y, h, mesh, block=64, factorization="panel")
     np.testing.assert_allclose(float(st_p.nll), float(st_l.nll), rtol=1e-10)
+
+
+def test_fit_large_refine_fp32_compensated():
+    """fit_large(refine=1) in fp32 uses the compensated sharded residual
+    (ops/compensated.py::residual_compensated_sharded) — it must improve
+    e toward the fp64 oracle of the same fp32-rounded system, on the
+    8-device mesh, with no x64 dependence in the math.
+    """
+    import scipy.linalg as sla
+
+    from gp_emu_uqsa_tpu.basis import basis_matrix, linear_basis
+    from gp_emu_uqsa_tpu.kernels import corr_self, make_params
+    from gp_emu_uqsa_tpu.parallel.large_fit import fit_large
+
+    rng = np.random.default_rng(9)
+    n, d = 512, 3
+    base = rng.uniform(size=(n // 2, d))
+    xx = np.vstack([base, base + 1e-3 * rng.standard_normal((n // 2, d))])
+    x = jnp.asarray(xx, jnp.float32)
+    y = jnp.asarray(np.sin(3 * xx[:, 0]) + xx[:, 1], jnp.float32)
+    spec = linear_basis(d)
+    h = basis_matrix(x, spec)
+    p = make_params(np.full(d, 1.2), nugget=2.2e-3, dtype=jnp.float32)
+    mesh = make_mesh({"mr": 8})
+    st0 = fit_large(p, x, y, h, mesh, block=64)
+    st1 = fit_large(p, x, y, h, mesh, block=64, refine=1)
+
+    # fp64 oracle on the same fp32-rounded system at the fit's own beta
+    a64 = np.asarray(corr_self(x, p), np.float64)
+    beta = np.asarray(st1.beta, np.float64)
+    rhs = np.asarray(y, np.float64) - np.asarray(h, np.float64) @ beta
+    cf = sla.cho_factor(a64, lower=True)
+    e64 = sla.cho_solve(cf, rhs)
+    enorm = np.linalg.norm(e64)
+    err0 = np.linalg.norm(np.asarray(st0.e, np.float64) - e64) / enorm
+    err1 = np.linalg.norm(np.asarray(st1.e, np.float64) - e64) / enorm
+    # floor: the sharded kernel BUILD rounds A differently from the
+    # oracle's eager corr_self (O(kappa*eps32) term, docs/numerics.md) —
+    # measured 5.0e-4 here; refinement's contract is the solve, pinned by
+    # the improvement ratio below
+    assert err1 < 1.5e-3
+    assert err1 < err0 / 3          # the sweep demonstrably acted
