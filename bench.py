@@ -1,11 +1,23 @@
 """Headline benchmark: GP emulator train + posterior-predict throughput.
 
-Round-2 layout (VERDICT r1 next-steps #1/#6): the bench is STAGED — every
-device-heavy measurement runs in its own killable subprocess, so a remote
-TPU-relay crash mid-stage loses only the remaining stages instead of the
-whole artifact, and the relay is WAITED for (bounded, env
-BENCH_RELAY_WAIT_S, default 1500 s) rather than silently falling back to
-CPU, which is what made BENCH_r01.json a CPU number.
+Round-3 layout (VERDICT r2 next-steps #1): the artifact must land in EVERY
+relay state.  Three mechanisms guarantee that:
+
+  1. INCREMENTAL EMISSION — the cumulative payload JSON line is printed
+     after *every* completed stage (and once before any stage runs), so a
+     driver kill at any moment still leaves a parseable artifact on stdout;
+     the driver takes the last line.
+  2. BOUNDED RELAY WAIT — default BENCH_RELAY_WAIT_S is 240 s (was 1500 s,
+     which ate the whole round-2 window while the relay was down).
+  3. OVERALL DEADLINE — BENCH_DEADLINE_S (default 1800 s) clips every
+     stage's subprocess timeout; stages that no longer fit are skipped and
+     recorded as such rather than silently lost.
+
+When the relay is down the bench falls back to CPU with REDUCED stages: the
+roofline runs at n=4096 (labelled `cpu_reduced`) and the n=16k/1M stage is
+skipped outright — the 2-core sandbox provably cannot finish the 16k
+stages inside any sane timeout (VERDICT r2 weak #1), so attempting them
+only burns the budget that the smaller labelled numbers need.
 
 Stages, ordered so the most important numbers land before the riskiest
 (large-allocation) work touches the fragile tunnel:
@@ -13,7 +25,8 @@ Stages, ordered so the most important numbers land before the riskiest
   roofline  kernel build / Cholesky / TRSM rates at n=16384 vs the chip's
             fp32 roof (BASELINE north star: >=50% of roofline)
   hmc       HMC samples/s/chip, 64 chains (BASELINE config 4)
-  fit16k    n=16384 fit + 1M-point batched mean+var prediction + Pallas
+  fit16k    n=16384 fit (refine=1: the production mixed-precision path) +
+            1M-point batched mean+var prediction + 1M-point fused-Pallas
             mean serving (BASELINE config 5, single chip)
 
 vs_baseline compares against a NumPy/LAPACK implementation of the identical
@@ -21,7 +34,8 @@ math on this host — a stand-in for the reference, which is pure NumPy with
 no published benchmarks (BASELINE.md: "published: {}"); the NumPy run uses a
 smaller query batch and extrapolates linearly in m (predict is O(n^2 m)).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+Prints cumulative JSON lines: {"metric", "value", "unit", "vs_baseline",
+...extras}; the LAST line is the artifact.
 """
 from __future__ import annotations
 
@@ -84,10 +98,18 @@ def _tpu_relay_alive(timeout_s: float = 150.0) -> bool:
         return False
 
 
-def _wait_for_relay() -> tuple[bool, float]:
-    """Bounded wait-and-retry for the TPU relay (VERDICT r1: do not fall
-    back to CPU silently). Returns (alive, seconds_waited)."""
-    budget = float(os.environ.get("BENCH_RELAY_WAIT_S", "1500"))
+def _wait_for_relay(deadline: float) -> tuple[bool, float]:
+    """Bounded wait-and-retry for the TPU relay. Returns (alive, waited_s).
+
+    The wait budget is min(BENCH_RELAY_WAIT_S, time left to the overall
+    deadline minus a floor reserved for the CPU-fallback stages) — waiting
+    for the relay must never eat the window the fallback numbers need
+    (VERDICT r2 weak #1: round 2 produced no artifact at all this way).
+    """
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return False, 0.0  # no relay configured — nothing to wait for
+    budget = float(os.environ.get("BENCH_RELAY_WAIT_S", "240"))
+    budget = max(0.0, min(budget, deadline - time.monotonic() - 600.0))
     t0 = time.monotonic()
     first = True
     while True:
@@ -111,12 +133,12 @@ def _cpu_env() -> dict:
     return env
 
 
-def _run_stage(name: str, cpu: bool) -> dict | None:
+def _run_stage(name: str, cpu: bool, timeout_s: float) -> dict | None:
     """Run one stage in a subprocess; parse its last stdout line as JSON."""
     try:
         r = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--stage", name],
-            timeout=STAGE_TIMEOUT_S[name],
+            timeout=timeout_s,
             capture_output=True, text=True,
             env=_cpu_env() if cpu else None,
         )
@@ -153,20 +175,11 @@ def _child_jax():
 
 
 def _timed(fn, sync, reps):
-    """Enqueue reps asynchronously, sync once, subtract the measured
-    round-trip — a per-rep sync costs one ~25 ms tunnel RTT each and
-    swamps millisecond ops on the remote backend."""
-    out = fn()
-    sync(out)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn()
-    sync(out)
-    total = time.perf_counter() - t0
-    t1 = time.perf_counter()
-    sync(out)
-    rtt = time.perf_counter() - t1
-    return max((total - rtt) / reps, 1e-9)
+    """Adaptive-reps timing with the tunnel RTT amortized (utils/timing.py;
+    `reps` seeds the adaptation and stays the floor for slow ops)."""
+    from gp_emu_uqsa_tpu.utils.timing import timed
+
+    return timed(fn, sync, start_reps=reps)
 
 
 def stage_core():
@@ -246,8 +259,13 @@ def stage_roofline():
     _child_jax()
     from gp_emu_uqsa_tpu.utils.roofline import measure
 
-    res = measure(n=16384, d=DIM, m=8192)
-    out = {"device": res.get("device"), "n": 16384}
+    # CPU fallback: n=16384 provably cannot finish on the 2-core sandbox
+    # (16k^3/3 fp32 flops alone is ~30 min at ~1e9 flop/s/core after BLAS);
+    # run a labelled n=4096 roofline instead so SOME rate numbers land.
+    cpu_reduced = bool(os.environ.get("BENCH_FORCE_CPU"))
+    n = 4096 if cpu_reduced else 16384
+    res = measure(n=n, d=DIM, m=8192)
+    out = {"device": res.get("device"), "n": n, "cpu_reduced": cpu_reduced}
     for k in ("kernel_build", "kernel_build_pallas", "cholesky_xla",
               "cholesky_blocked", "fit_total", "predict_fast",
               "serve_mean_pallas"):
@@ -281,7 +299,9 @@ def stage_fit16k():
     h = basis_matrix(x, spec)
     params = make_params(delta, nugget=1e-4, dtype=dtype)
 
-    fit_jit = jax.jit(lambda p, x, y, h: gp.fit(p, x, y, h))
+    # refine=1 is the production fp32-at-scale path (compensated-fp32
+    # residual sweep, docs/numerics.md) — bench what users should run
+    fit_jit = jax.jit(lambda p, x, y, h: gp.fit(p, x, y, h, refine=1))
     state = fit_jit(params, x, y, h)
     float(state.nll)
     fit_s = _timed(lambda: fit_jit(params, x, y, h),
@@ -300,24 +320,26 @@ def stage_fit16k():
     pred_s = _timed(lambda: pb(pred, x, xs, hs),
                     lambda o: float(o[1][-1]), reps=2)
 
+    # full-1M mean-only serving through the fused Pallas kernel (VERDICT r2
+    # next-step #8): lax.map chunking keeps the (batch, 128) lane-padded
+    # output scratch at 64 MB while c* never touches HBM at all
     serve_pps = 0.0
     try:
-        from gp_emu_uqsa_tpu.ops.serve import serve_mean_pallas
+        from gp_emu_uqsa_tpu.ops.serve import serve_mean_pallas_batched
 
-        xs64k, hs64k = xs[:65536], hs[:65536]
-        serve_jit = jax.jit(lambda pr, x, xs, hs: serve_mean_pallas(
-            pr, x, xs, hs))
-        float(serve_jit(pred, x, xs64k, hs64k)[-1])
-        serve_s = _timed(lambda: serve_jit(pred, x, xs64k, hs64k),
-                         lambda o: float(o[-1]), reps=4)
-        serve_pps = 65536 / serve_s
+        serve_jit = jax.jit(lambda pr, x, xs, hs: serve_mean_pallas_batched(
+            pr, x, xs, hs, batch=131072))
+        float(serve_jit(pred, x, xs, hs)[-1])
+        serve_s = _timed(lambda: serve_jit(pred, x, xs, hs),
+                         lambda o: float(o[-1]), reps=2)
+        serve_pps = m / serve_s
     except Exception:
         pass
     return {
         "fit_seconds_n16384": round(fit_s, 4),
         "predict_1m_points_per_s": round(m / pred_s, 1),
         "predict_1m_seconds": round(pred_s, 3),
-        "serve_pallas_points_per_s_n16384": round(serve_pps, 1),
+        "serve_pallas_1m_points_per_s_n16384": round(serve_pps, 1),
         "device": str(jax.devices()[0]),
     }
 
@@ -376,26 +398,9 @@ def bench_numpy():
     return fit_s, len(xs) / pred_s
 
 
-def main():
-    alive, waited = _wait_for_relay()
-    cpu = not alive
-    results: dict = {}
-    failed: list[str] = []
-    skipped: list[str] = []
-    stage_order = ["core", "roofline", "hmc", "fit16k"]
-    for i, name in enumerate(stage_order):
-        out = _run_stage(name, cpu)
-        if out is None:
-            failed.append(name)
-            # a failed TPU stage usually means the tunnel died — do not
-            # feed the remaining stages into a dead relay
-            if not cpu and not _tpu_relay_alive():
-                skipped.extend(stage_order[i + 1:])
-                break
-        else:
-            results[name] = out
-
-    fit_np, pps_np = bench_numpy()
+def _payload(results: dict, *, fit_np, pps_np, waited, cpu,
+             failed, skipped) -> dict:
+    """Assemble the cumulative artifact from whatever stages completed."""
     core = results.get("core", {})
     pps_jax = core.get("predict_points_per_s", 0.0)
     serve_pl = core.get("serve_pallas_points_per_s", 0.0)
@@ -404,33 +409,86 @@ def main():
     chol = roof.get("cholesky_blocked") or roof.get("cholesky_xla") or {}
     hmc = results.get("hmc", {})
     f16 = results.get("fit16k", {})
-    payload = {
+    return {
         "metric": f"posterior_predict_points_per_s_n{N_TRAIN}_d{DIM}",
         "value": round(pps_jax, 1),
         "unit": "points/s (mean+var)",
-        "vs_baseline": round(pps_jax / pps_np, 2) if pps_jax else 0.0,
+        "vs_baseline": round(pps_jax / pps_np, 2) if pps_jax and pps_np else 0.0,
         "fit_seconds_n4096": core.get("fit_seconds"),
         "serve_mean_points_per_s_pallas": serve_pl,
         "serve_mean_points_per_s_xla": serve_xla,
         "pallas_vs_xla_serve_speedup": (
             round(serve_pl / serve_xla, 2) if serve_pl and serve_xla else None
         ),
-        "cholesky16k_tflops": chol.get("tflops"),
-        "cholesky16k_pct_fp32_roof": chol.get("pct_of_fp32_roof"),
-        "cholesky16k_pct_bf16_roof": chol.get("pct_of_bf16_roof"),
+        "roofline_n": roof.get("n"),
+        "cholesky_tflops": chol.get("tflops"),
+        "cholesky_pct_fp32_roof": chol.get("pct_of_fp32_roof"),
+        "cholesky_pct_bf16_roof": chol.get("pct_of_bf16_roof"),
+        "kernel_build_tflops": (roof.get("kernel_build") or {}).get("tflops"),
         "fit16k_seconds": f16.get("fit_seconds_n16384"),
         "predict_1m_points_per_s_n16384": f16.get("predict_1m_points_per_s"),
+        "serve_pallas_1m_points_per_s_n16384": f16.get(
+            "serve_pallas_1m_points_per_s_n16384"),
         "hmc_samples_per_s_per_chip_64chains": hmc.get(
             "samples_per_s_per_chip"),
-        "numpy_baseline_points_per_s": round(pps_np, 1),
-        "numpy_fit_seconds": round(fit_np, 4),
-        "device": core.get("device") or roof.get("device") or "unknown",
+        "numpy_baseline_points_per_s": round(pps_np, 1) if pps_np else None,
+        "numpy_fit_seconds": round(fit_np, 4) if fit_np else None,
+        "device": core.get("device") or roof.get("device")
+        or hmc.get("device") or "unknown",
         "relay_waited_s": round(waited, 1),
         "tpu": not cpu,
         "stages_failed": failed,
         "stages_skipped": skipped,
     }
-    print(json.dumps(payload))
+
+
+def main():
+    deadline = time.monotonic() + float(
+        os.environ.get("BENCH_DEADLINE_S", "1800"))
+    alive, waited = _wait_for_relay(deadline)
+    cpu = not alive
+
+    # NumPy baseline first: cheap, relay-free, and every incremental
+    # artifact line gets a real vs_baseline from the start
+    try:
+        fit_np, pps_np = bench_numpy()
+    except Exception:
+        fit_np, pps_np = None, None
+
+    results: dict = {}
+    failed: list[str] = []
+    skipped: list[str] = []
+    stage_order = ["core", "roofline", "hmc", "fit16k"]
+    if cpu:
+        # the 16k/1M stage cannot finish on the 2-core sandbox inside any
+        # sane timeout (VERDICT r2 weak #1) — skip it, don't burn budget
+        stage_order.remove("fit16k")
+        skipped.append("fit16k")
+
+    def emit():
+        print(json.dumps(_payload(
+            results, fit_np=fit_np, pps_np=pps_np, waited=waited, cpu=cpu,
+            failed=failed, skipped=skipped)), flush=True)
+
+    emit()  # artifact exists even if the first stage is killed
+    for i, name in enumerate(stage_order):
+        left = deadline - time.monotonic()
+        if left < 60.0:
+            skipped.extend(stage_order[i:])
+            break
+        out = _run_stage(name, cpu, timeout_s=min(STAGE_TIMEOUT_S[name], left))
+        if out is None:
+            failed.append(name)
+            # a failed TPU stage usually means the tunnel died — do not
+            # feed the remaining stages into a dead relay
+            if not cpu and not _tpu_relay_alive():
+                skipped.extend(stage_order[i + 1:])
+                emit()
+                break
+        else:
+            results[name] = out
+        emit()
+    emit()
 
 
 if __name__ == "__main__":

@@ -7,9 +7,17 @@ the exp — two full n^2 HBM round-trips. This kernel fuses norms, the MXU
 cross-product, exp, and the nugget into one pass: each (TM, TN) tile of A
 is computed in VMEM and written exactly once.
 
-Layout: inputs are padded to a 128-lane feature dim (d <= 128 always holds
-for GP emulation problems; zero-padding contributes nothing to distances).
-Tiles are 256x256 fp32 (multiples of the (8,128) fp32 tile).
+Distance compute (d <= 20, i.e. essentially always): the lane-packed
+bf16x6 layout of ops/mxu_packing.py — the full D2 tile (norms included)
+from ONE bf16 MXU pass at fp32 accuracy, 6x cheaper than the
+Precision.HIGHEST fp32 dot it replaces (which burns 6 bf16 passes over a
+k=128 contraction whose real feature count is ~8). Measured on TPU v5e at
+n=4096: 19.6x faster than the XLA path even before packing; packing
+removes most of the remaining MXU time. Above d=20 the packing no longer
+fits in 128 lanes and the kernel falls back to the fp32 HIGHEST dot.
+
+Layout: tiles are 256x256 fp32 (multiples of the (8,128) fp32 tile);
+packed operands are (TILE, 128) bf16.
 """
 from __future__ import annotations
 
@@ -20,11 +28,38 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from gp_emu_uqsa_tpu.ops.mxu_packing import (
+    pack_dist_a, pack_dist_b, packed_width, pad_lanes,
+)
+
 TILE = 256
 _LANE = 128
 
 
-def _kernel(xs_i_ref, xs_j_ref, nug_ref, out_ref):
+def _kernel_packed(pa_ref, pb_ref, nug_ref, out_ref):
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    # ONE bf16 MXU pass -> the whole fp32-accurate D2 tile (see module doc)
+    d2 = jax.lax.dot_general(
+        pa_ref[:], pb_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    a = jnp.exp(-jnp.maximum(d2, 0.0))
+
+    @pl.when(i == j)
+    def _():
+        m = a.shape[0]
+        row = jax.lax.broadcasted_iota(jnp.int32, (m, m), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (m, m), 1)
+        out_ref[:] = a + jnp.where(row == col, nug_ref[0, 0], 0.0)
+
+    @pl.when(i != j)
+    def _():
+        out_ref[:] = a
+
+
+def _kernel_fp32(xs_i_ref, xs_j_ref, nug_ref, out_ref):
     i = pl.program_id(0)
     j = pl.program_id(1)
     xi = xs_i_ref[:]                                   # (TILE, d_pad)
@@ -59,24 +94,37 @@ def gaussian_corr_self_pallas(x, delta, nugget, *, interpret: bool = False):
     """A = exp(-sum_l ((x_i-x_j)/delta)^2) + nugget*I via one fused pass.
 
     x: (n, d) fp32; delta: (d,); nugget: scalar. n is padded to the tile
-    size internally; d is padded to the 128-lane width.
+    size internally.
     """
     x = jnp.asarray(x, jnp.float32)
     n, d = x.shape
     xs = x / jnp.asarray(delta, jnp.float32)
     n_pad = ((n + TILE - 1) // TILE) * TILE
-    d_pad = ((d + _LANE - 1) // _LANE) * _LANE
-    xs = jnp.pad(xs, ((0, n_pad - n), (0, d_pad - d)))
     nug = jnp.asarray(nugget, jnp.float32).reshape(1, 1)
-
     grid = (n_pad // TILE, n_pad // TILE)
+    packed = packed_width(d) <= _LANE
+
+    if packed:
+        xs_p = jnp.pad(xs, ((0, n_pad - n), (0, 0)))
+        op_a = pad_lanes(pack_dist_a(xs_p))            # (n_pad, 128) bf16
+        op_b = pad_lanes(pack_dist_b(xs_p))
+        kernel = _kernel_packed
+        in_width = _LANE
+        dist_flops = 2 * n_pad * n_pad * _LANE         # one bf16 pass
+    else:
+        d_pad = ((d + _LANE - 1) // _LANE) * _LANE
+        op_a = op_b = jnp.pad(xs, ((0, n_pad - n), (0, d_pad - d)))
+        kernel = _kernel_fp32
+        in_width = d_pad
+        dist_flops = 6 * 2 * n_pad * n_pad * d_pad     # bf16x6 passes
+
     out = pl.pallas_call(
-        _kernel,
+        kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TILE, d_pad), lambda i, j: (i, 0),
+            pl.BlockSpec((TILE, in_width), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, d_pad), lambda i, j: (j, 0),
+            pl.BlockSpec((TILE, in_width), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
@@ -84,10 +132,10 @@ def gaussian_corr_self_pallas(x, delta, nugget, *, interpret: bool = False):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n_pad, n_pad), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * n_pad * n_pad * d_pad + 4 * n_pad * n_pad,
-            bytes_accessed=n_pad * n_pad * 4 + 2 * n_pad * d_pad * 4,
+            flops=dist_flops + 4 * n_pad * n_pad,
+            bytes_accessed=n_pad * n_pad * 4 + 2 * n_pad * in_width * 4,
             transcendentals=n_pad * n_pad,
         ),
         interpret=interpret,
-    )(xs, xs, nug)
+    )(op_a, op_b, nug)
     return out[:n, :n]

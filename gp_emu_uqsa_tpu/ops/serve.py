@@ -31,12 +31,47 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from gp_emu_uqsa_tpu.ops.mxu_packing import (
+    pack_dist_a, pack_dist_b, packed_width, pad_lanes,
+)
+
 TILE_M = 256
 TILE_N = 512
 _LANE = 128
 
 
-def _kernel(xs_ref, xt_ref, rhs_ref, out_ref):
+def _contract(c, rhs_tile, out_ref):
+    # HIGHEST on the RHS contraction: with DEFAULT the MXU runs ONE bf16
+    # pass, rounding both c and rhs to 8 mantissa bits — measured 0.13 abs
+    # error on a n=4096 matvec on hardware (serving e has large cancelling
+    # entries). This is the kernel's dominant MXU cost (6 bf16 passes).
+    out_ref[:] += jax.lax.dot_general(
+        c, rhs_tile,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _kernel_packed(pa_ref, pb_ref, rhs_ref, out_ref):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    # ONE bf16 MXU pass -> fp32-accurate D2 tile, norms included
+    # (ops/mxu_packing.py lane-packed bf16x6 layout)
+    d2 = jax.lax.dot_general(
+        pa_ref[:], pb_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    c = jnp.exp(-jnp.maximum(d2, 0.0))                  # (TM, TN) VMEM only
+    _contract(c, rhs_ref[:], out_ref)
+
+
+def _kernel_fp32(xs_ref, xt_ref, rhs_ref, out_ref):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -56,11 +91,7 @@ def _kernel(xs_ref, xt_ref, rhs_ref, out_ref):
     )
     d2 = jnp.maximum(ni + nj - 2.0 * cross, 0.0)
     c = jnp.exp(-d2)                                    # (TM, TN) in VMEM only
-    out_ref[:] += jax.lax.dot_general(
-        c, rhs_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    _contract(c, rhs_ref[:], out_ref)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -89,19 +120,34 @@ def corr_matvec_pallas(xstar, x, delta, rhs, *, interpret: bool = False):
 
     m_pad = pl.cdiv(m, TILE_M) * TILE_M
     n_pad = pl.cdiv(n, TILE_N) * TILE_N
-    d_pad = pl.cdiv(d, _LANE) * _LANE
-    xs = jnp.pad(xs, ((0, m_pad - m), (0, d_pad - d)))
-    xt = jnp.pad(xt, ((0, n_pad - n), (0, d_pad - d)))
     rhs = jnp.pad(rhs, ((0, n_pad - n), (0, _LANE - r)))
+    packed = packed_width(d) <= _LANE
+
+    if packed:
+        # lane-packed bf16x6 distance: 1 MXU pass instead of 6 (module doc
+        # of ops/mxu_packing.py); padded rows pack to zeros -> d2 = 0,
+        # same semantics as the fp32 path (c = 1, neutralized by zero rhs)
+        op_a = pad_lanes(pack_dist_a(jnp.pad(xs, ((0, m_pad - m), (0, 0)))))
+        op_b = pad_lanes(pack_dist_b(jnp.pad(xt, ((0, n_pad - n), (0, 0)))))
+        kernel = _kernel_packed
+        in_width = _LANE
+        dist_flops = 2 * m_pad * n_pad * _LANE
+    else:
+        d_pad = pl.cdiv(d, _LANE) * _LANE
+        op_a = jnp.pad(xs, ((0, m_pad - m), (0, d_pad - d)))
+        op_b = jnp.pad(xt, ((0, n_pad - n), (0, d_pad - d)))
+        kernel = _kernel_fp32
+        in_width = d_pad
+        dist_flops = 6 * 2 * m_pad * n_pad * d_pad
 
     grid = (m_pad // TILE_M, n_pad // TILE_N)
     out = pl.pallas_call(
-        _kernel,
+        kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TILE_M, d_pad), lambda i, j: (i, 0),
+            pl.BlockSpec((TILE_M, in_width), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_N, d_pad), lambda i, j: (j, 0),
+            pl.BlockSpec((TILE_N, in_width), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE_N, _LANE), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
@@ -110,13 +156,14 @@ def corr_matvec_pallas(xstar, x, delta, rhs, *, interpret: bool = False):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m_pad, _LANE), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * m_pad * n_pad * (d_pad + _LANE) + 4 * m_pad * n_pad,
-            bytes_accessed=(m_pad * d_pad + n_pad * d_pad + n_pad * _LANE
-                            + m_pad * _LANE) * 4,
+            flops=dist_flops + 6 * 2 * m_pad * n_pad * _LANE
+            + 4 * m_pad * n_pad,
+            bytes_accessed=(m_pad * in_width + n_pad * in_width
+                            + n_pad * _LANE + m_pad * _LANE) * 4,
             transcendentals=m_pad * n_pad,
         ),
         interpret=interpret,
-    )(xs, xt, rhs)
+    )(op_a, op_b, rhs)
     out = out[:m, :r]
     return out[:, 0] if squeeze else out
 
@@ -131,3 +178,29 @@ def serve_mean_pallas(pred, x, xstar, hstar, *, interpret: bool = False):
         xstar, x, jnp.exp(pred.params.log_delta), pred.e, interpret=interpret
     )
     return jnp.asarray(hstar, jnp.float32) @ pred.beta.astype(jnp.float32) + ce
+
+
+@functools.partial(jax.jit, static_argnames=("batch", "interpret"))
+def serve_mean_pallas_batched(pred, x, xstar, hstar, *, batch: int = 131072,
+                              interpret: bool = False):
+    """Mean-only serving at arbitrary m (e.g. the 1M-point BASELINE config 5).
+
+    One `corr_matvec_pallas` call writes an (m_pad, 128) fp32 output block
+    (the lane dimension is fixed at 128), so a single-shot 1M-point call
+    would materialize a 512 MB scratch for a 4 MB result. Chunk the query
+    axis with `lax.map` instead: each chunk's scratch is (batch, 128) —
+    64 MB at the default — and only the (batch,) mean column survives the
+    loop. Device memory stays bounded regardless of m.
+    """
+    m = xstar.shape[0]
+    nb = pl.cdiv(m, batch)
+    m_pad = nb * batch
+    xs = jnp.pad(jnp.asarray(xstar, jnp.float32), ((0, m_pad - m), (0, 0)))
+    hs = jnp.pad(jnp.asarray(hstar, jnp.float32), ((0, m_pad - m), (0, 0)))
+    xs = xs.reshape(nb, batch, xs.shape[1])
+    hs = hs.reshape(nb, batch, hs.shape[1])
+    out = jax.lax.map(
+        lambda ch: serve_mean_pallas(pred, x, ch[0], ch[1], interpret=interpret),
+        (xs, hs),
+    )
+    return out.reshape(m_pad)[:m]

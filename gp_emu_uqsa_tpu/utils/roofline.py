@@ -42,25 +42,11 @@ def _peak(device_str: str) -> dict | None:
 
 
 def _time(fn, sync, reps=10):
-    """Per-op seconds with the tunnel RTT amortized.
+    """Per-op seconds with the tunnel RTT amortized (adaptive reps — see
+    utils/timing.py: fixed small reps made sub-ms ops 100% RTT noise)."""
+    from gp_emu_uqsa_tpu.utils.timing import timed
 
-    Enqueue all reps back-to-back (JAX async dispatch pipelines them on
-    device) and host-sync ONCE at the end: total ~= RTT + reps * op. A
-    per-rep sync would serialize one ~25 ms round-trip per rep on the
-    remote-tunnel backend and swamp sub-ms ops.
-    """
-    sync(fn())                     # warm (compile + first dispatch)
-    t0 = time.perf_counter()
-    out = None
-    for _ in range(reps):
-        out = fn()
-    sync(out)
-    total = time.perf_counter() - t0
-    # subtract one measured null round-trip
-    t1 = time.perf_counter()
-    sync(out)
-    rtt = time.perf_counter() - t1
-    return max((total - rtt) / reps, 1e-9)
+    return timed(fn, sync, start_reps=reps)
 
 
 def measure(n: int = 4096, d: int = 8, m: int = 8192, dtype=None):

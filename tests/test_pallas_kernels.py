@@ -17,10 +17,60 @@ def test_fused_kernel_matrix_matches_xla():
     want = gaussian_corr_self(jnp.asarray(x), p)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-5, atol=2e-6)
-    # exact symmetric + unit diagonal (+nugget)
+    # symmetric to fp32 accumulation order (the packed bf16x6 dot sums the
+    # same term set for (i,j) and (j,i) but in different orders) + unit
+    # diagonal (+nugget)
     a = np.asarray(got)
-    np.testing.assert_allclose(a, a.T, atol=2e-6)
+    np.testing.assert_allclose(a, a.T, atol=1e-5)
     np.testing.assert_allclose(np.diag(a), 1.0 + nugget, rtol=1e-5)
+
+
+def test_mxu_packed_distance_matches_fp64():
+    """One bf16 dot over the packed lanes == fp64 D2 to fp32 accuracy."""
+    import jax
+    from gp_emu_uqsa_tpu.ops.mxu_packing import (
+        pack_dist_a, pack_dist_b, packed_width, pad_lanes,
+    )
+
+    rng = np.random.default_rng(7)
+    for d in (1, 8, 20):
+        assert packed_width(d) <= 128
+        a = rng.uniform(-2, 2, size=(57, d)).astype(np.float32)
+        b = rng.uniform(-2, 2, size=(43, d)).astype(np.float32)
+        pa, pb = pad_lanes(pack_dist_a(a)), pad_lanes(pack_dist_b(b))
+        assert pa.dtype == jnp.bfloat16
+        d2 = jax.lax.dot_general(pa, pb, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        a64, b64 = a.astype(np.float64), b.astype(np.float64)
+        ref = ((a64 * a64).sum(1)[:, None] + (b64 * b64).sum(1)[None, :]
+               - 2 * a64 @ b64.T)
+        scale = max(1.0, float(np.max(np.abs(ref))))
+        assert float(np.max(np.abs(np.asarray(d2) - ref))) < 4e-7 * scale
+
+
+def test_fused_kernels_fp32_fallback_above_d20():
+    """d > 20 exceeds the 128-lane packing; the fp32 HIGHEST path takes
+    over and still matches XLA."""
+    rng = np.random.default_rng(8)
+    n, d = 100, 25
+    x = rng.uniform(size=(n, d)).astype(np.float32)
+    delta = np.full(d, 0.9, np.float32)
+    got = gaussian_corr_self_pallas(x, delta, 1e-4, interpret=True)
+    p = make_params(delta, nugget=1e-4, dtype=jnp.float32)
+    want = gaussian_corr_self(jnp.asarray(x), p)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-6)
+
+    from gp_emu_uqsa_tpu.kernels import gaussian_corr
+    from gp_emu_uqsa_tpu.ops.serve import corr_matvec_pallas
+
+    xs = rng.uniform(size=(77, d)).astype(np.float32)
+    rhs = rng.standard_normal(n).astype(np.float32)
+    got_v = corr_matvec_pallas(xs, x, delta, rhs, interpret=True)
+    p0 = make_params(delta, nugget=0.0, dtype=jnp.float32)
+    want_v = gaussian_corr(jnp.asarray(xs), jnp.asarray(x), p0) @ jnp.asarray(rhs)
+    np.testing.assert_allclose(np.asarray(got_v), np.asarray(want_v),
+                               rtol=3e-5, atol=3e-5)
 
 
 def test_corr_matvec_fused_matches_xla():
@@ -67,6 +117,34 @@ def test_serve_mean_pallas_matches_predict_fast():
     got_mean = serve_mean_pallas(pred, x, xs, hs, interpret=True)
     np.testing.assert_allclose(np.asarray(got_mean), np.asarray(want_mean),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_serve_mean_pallas_batched_matches_unbatched():
+    """lax.map chunking (the 1M-point serving path) == one-shot serve,
+    including a query count that is not a multiple of the batch."""
+    from gp_emu_uqsa_tpu import gp
+    from gp_emu_uqsa_tpu.basis import basis_matrix, linear_basis
+    from gp_emu_uqsa_tpu.ops.serve import (
+        serve_mean_pallas, serve_mean_pallas_batched,
+    )
+
+    rng = np.random.default_rng(5)
+    n, d, m = 60, 3, 333                  # m % batch != 0 on purpose
+    x = jnp.asarray(rng.uniform(size=(n, d)), jnp.float32)
+    y = jnp.sin(2 * x[:, 0]) - x[:, 2]
+    spec = linear_basis(d)
+    h = basis_matrix(x, spec)
+    xs = jnp.asarray(rng.uniform(size=(m, d)), jnp.float32)
+    hs = basis_matrix(xs, spec)
+    params = make_params(np.full(d, 0.6, np.float32), nugget=1e-4,
+                         dtype=jnp.float32)
+    pred = gp.predictor(gp.fit(params, x, y, h))
+    want = serve_mean_pallas(pred, x, xs, hs, interpret=True)
+    got = serve_mean_pallas_batched(pred, x, xs, hs, batch=128,
+                                    interpret=True)
+    assert got.shape == (m,)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
 
 
 def test_blocked_cholesky_matches_lapack():
