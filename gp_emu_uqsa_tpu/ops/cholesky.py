@@ -109,19 +109,54 @@ def cholesky_with_jitter(
     )
 
 
+def blocked_tri_solve_right(l: jax.Array, b: jax.Array, *,
+                            leaf: int = 1024) -> jax.Array:
+    """Solve X L^T = B (right-side, transposed, lower L) blocked.
+
+    The right-side analog of `blocked_tri_solve`, used by the blocked
+    Cholesky's panel step X = B L^-T. Splitting L as
+    [[L11, 0], [L21, L22]] and B's columns as [B1, B2]:
+
+        X1 = B1 L11^-T
+        X2 = (B2 - X1 L21^T) L22^-T
+
+    turns all off-diagonal work into fp32-accurate MXU GEMMs; only the
+    (m, leaf) leaf solves hit XLA's sequential TRSM lowering.
+    """
+    n = l.shape[-1]
+    if n <= leaf:
+        return lax.linalg.triangular_solve(
+            l, b, left_side=False, lower=True, transpose_a=True
+        )
+    half = n // 2
+    l11 = l[..., :half, :half]
+    l21 = l[..., half:, :half]
+    l22 = l[..., half:, half:]
+    b1 = b[..., :, :half]
+    b2 = b[..., :, half:]
+    mm = partial(jnp.matmul, precision=lax.Precision.HIGHEST)
+    x1 = blocked_tri_solve_right(l11, b1, leaf=leaf)
+    x2 = blocked_tri_solve_right(l22, b2 - mm(x1, l21.mT), leaf=leaf)
+    return jnp.concatenate([x1, x2], axis=-1)
+
+
 def blocked_cholesky(a: jax.Array, leaf: int = 512) -> jax.Array:
     """Recursive blocked lower-Cholesky tuned for the MXU.
 
     chol([[A11,  .],[A21, A22]]):
         L11 = chol(A11)
-        L21 = A21 L11^-T          (TRSM)
+        L21 = A21 L11^-T          (blocked right-side TRSM)
         L22 = chol(A22 - L21 L21^T)   (SYRK -> GEMM on the MXU)
 
     The recursion unrolls at trace time (static shapes, log2(n/leaf)
     levels); the dominant trailing-update SYRK runs as a full-speed fp32
     GEMM, which is where XLA's built-in Cholesky loses time at large n.
-    Leaves fall back to lax.linalg.cholesky. n must be a power-of-two
-    multiple of leaf or is handled by the wrapper below.
+    The panel TRSM is blocked too (`blocked_tri_solve_right`): XLA's
+    one-shot triangular_solve lowers to a sequential update-slice chain
+    on TPU, and at n=16k the (8192, 8192) top-level solve was the single
+    largest non-GEMM cost of the factorization. Leaves fall back to
+    lax.linalg.cholesky. n must be a power-of-two multiple of leaf or is
+    handled by the wrapper below.
     """
     n = a.shape[-1]
     if n <= leaf:
@@ -132,9 +167,7 @@ def blocked_cholesky(a: jax.Array, leaf: int = 512) -> jax.Array:
     a22 = a[..., half:, half:]
     l11 = blocked_cholesky(a11, leaf)
     # L21 = A21 L11^-T  <=>  solve X L11^T = A21
-    l21 = lax.linalg.triangular_solve(
-        l11, a21, left_side=False, lower=True, transpose_a=True
-    )
+    l21 = blocked_tri_solve_right(l11, a21, leaf=leaf)
     update = lax.dot_general(
         l21, l21,
         dimension_numbers=(((1,), (1,)), ((), ())),

@@ -46,7 +46,11 @@ def compare(n: int = 128, d: int = 4, n_chains: int = 16,
     x = jnp.asarray(rng.uniform(size=(n, d)))
     y = jnp.sin(3.0 * x[:, 0]) + x[:, 1] * x[:, 2]
     h = basis_matrix(x, linear_basis(d))
-    ld = make_gp_logdensity(x, y, h, MLEConfig(mode="mucm", nugget=1e-6))
+    # nugget by working precision: at fp32 (TPU) 1e-6 makes the Cholesky
+    # fail and the NLL +inf BY DESIGN (likelihood contract), so every HMC
+    # proposal rejects — measured accept_rate 0.0 / all-NaN ESS on chip
+    nugget = 1e-6 if x.dtype == jnp.float64 else 1e-4
+    ld = make_gp_logdensity(x, y, h, MLEConfig(mode="mucm", nugget=nugget))
     cfg = HMCConfig(n_warmup=n_warmup, n_samples=n_samples,
                     n_leapfrog=n_leapfrog)
     z0 = jnp.zeros((n_chains, d), x.dtype)
@@ -92,21 +96,33 @@ def compare(n: int = 128, d: int = 4, n_chains: int = 16,
         "sharded": sharded,
         "device": str(jax.devices()[0]),
         "hmc": bench("hmc", hmc_sample),
-        "nuts": bench(
-            "nuts",
-            lambda k, ld_, z, c, **kw: nuts_sample(
-                k, ld_, z, c, max_depth=max_depth, **kw),
-        ),
     }
+    # stream the HMC half immediately: the NUTS shard_map compile can take
+    # tens of minutes on the CPU sandbox, and a killed run must not lose
+    # the numbers already measured (same contract as bench.py round 3)
+    print(json.dumps({("sharded" if sharded else "unsharded") + "_hmc":
+                      out["hmc"]}), flush=True)
+    out["nuts"] = bench(
+        "nuts",
+        lambda k, ld_, z, c, **kw: nuts_sample(
+            k, ld_, z, c, max_depth=max_depth, **kw),
+    )
     return out
 
 
 if __name__ == "__main__":
     import json
+    import os
 
-    res = {"unsharded": compare(sharded=False)}
+    # SAMPLER_COMPARE_FAST=1 quarters the draw budget (still ~4k total
+    # draws across 16 chains — plenty for a stable min-ESS/s comparison)
+    kw = {}
+    if os.environ.get("SAMPLER_COMPARE_FAST"):
+        kw = dict(n_warmup=150, n_samples=250)
+    res = {"unsharded": compare(sharded=False, **kw)}
+    print(json.dumps(res), flush=True)         # land the artifact per part
     import jax
 
     if len(jax.devices()) > 1:
-        res["sharded"] = compare(sharded=True)
-    print(json.dumps(res, indent=1))
+        res["sharded"] = compare(sharded=True, **kw)
+    print(json.dumps(res, indent=1), flush=True)

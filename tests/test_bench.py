@@ -1,0 +1,73 @@
+"""bench.py artifact-landing contract (VERDICT r2 weak #1).
+
+Round 2 produced NO bench artifact because the single JSON line printed
+only after every stage finished and the relay wait was unbounded in
+practice. These tests pin the parent-side logic (no jax import, no
+devices): the payload is parseable with zero stages, degrades field-by-
+field, and the relay wait short-circuits when no relay is configured.
+"""
+import importlib.util
+import json
+import os
+import sys
+import time
+
+_spec = importlib.util.spec_from_file_location(
+    "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py"))
+bench = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(bench)
+
+
+def _payload(results, **kw):
+    base = dict(fit_np=1.0, pps_np=1000.0, waited=0.0, cpu=True,
+                failed=[], skipped=[])
+    base.update(kw)
+    return bench._payload(results, **base)
+
+
+def test_payload_with_no_stages_is_valid_json():
+    p = _payload({})
+    s = json.dumps(p)
+    back = json.loads(s)
+    assert back["value"] == 0.0
+    assert back["vs_baseline"] == 0.0
+    assert back["metric"].startswith("posterior_predict")
+    assert back["tpu"] is False
+
+
+def test_payload_accumulates_stage_by_stage():
+    p0 = _payload({})
+    p1 = _payload({"core": {"predict_points_per_s": 5000.0,
+                            "fit_seconds": 0.5, "device": "FakeTPU"}})
+    assert p0["fit_seconds_n4096"] is None
+    assert p1["fit_seconds_n4096"] == 0.5
+    assert p1["value"] == 5000.0
+    assert p1["vs_baseline"] == 5.0
+    assert p1["device"] == "FakeTPU"
+    p2 = _payload({"roofline": {"n": 16384, "cholesky_blocked": {
+        "tflops": 14.0, "pct_of_fp32_roof": 43.0}}})
+    assert p2["cholesky_tflops"] == 14.0
+    assert p2["cholesky_pct_fp32_roof"] == 43.0
+    assert p2["roofline_n"] == 16384
+
+
+def test_payload_without_numpy_baseline():
+    p = _payload({"core": {"predict_points_per_s": 5000.0}},
+                 fit_np=None, pps_np=None)
+    assert p["vs_baseline"] == 0.0
+    assert p["numpy_baseline_points_per_s"] is None
+
+
+def test_relay_wait_short_circuits_without_relay_env(monkeypatch):
+    monkeypatch.delenv("PALLAS_AXON_POOL_IPS", raising=False)
+    t0 = time.monotonic()
+    alive, waited = bench._wait_for_relay(time.monotonic() + 3600.0)
+    assert not alive and waited == 0.0
+    assert time.monotonic() - t0 < 1.0
+
+
+def test_stage_failure_keeps_payload_parseable():
+    p = _payload({}, failed=["core"], skipped=["fit16k"])
+    back = json.loads(json.dumps(p))
+    assert back["stages_failed"] == ["core"]
+    assert back["stages_skipped"] == ["fit16k"]

@@ -30,6 +30,26 @@ def test_matches_xla_solve(n, m, trans):
     assert err < (1e-12 if want.dtype == np.float64 else 1e-5)
 
 
+@pytest.mark.parametrize("n,m", [(512, 300), (96, 7)])
+def test_right_side_matches_xla_solve(n, m):
+    """blocked_tri_solve_right (X L^T = B — the blocked-Cholesky panel
+    step) == XLA's right-side TRSM."""
+    from gp_emu_uqsa_tpu.ops.cholesky import blocked_tri_solve_right
+
+    rng = np.random.default_rng(3)
+    a = rng.standard_normal((n, n))
+    a = a @ a.T + n * np.eye(n)
+    l = np.linalg.cholesky(a)
+    b = rng.standard_normal((m, n))
+    want = np.asarray(jax.lax.linalg.triangular_solve(
+        jnp.asarray(l), jnp.asarray(b), left_side=False, lower=True,
+        transpose_a=True))
+    got = np.asarray(blocked_tri_solve_right(
+        jnp.asarray(l), jnp.asarray(b), leaf=128))
+    err = np.max(np.abs(got - want)) / np.max(np.abs(want))
+    assert err < (1e-12 if want.dtype == np.float64 else 1e-5)
+
+
 def test_predictor_large_n_path_matches_small_path():
     """The n > 4096 predictor branch must agree with the direct solve.
 
