@@ -406,7 +406,13 @@ def _payload(results: dict, *, fit_np, pps_np, waited, cpu,
     serve_pl = core.get("serve_pallas_points_per_s", 0.0)
     serve_xla = core.get("serve_xla_points_per_s", 0.0)
     roof = results.get("roofline", {})
-    chol = roof.get("cholesky_blocked") or roof.get("cholesky_xla") or {}
+    # headline the FASTER factorization: on v5e the XLA builtin measures
+    # 72.8% of the fp32 roof vs 61.3% for the blocked recursion (the
+    # blocked form exists for distributed leaves and OOM-safe TRSM, not
+    # to beat XLA single-chip)
+    _cands = [c for c in (roof.get("cholesky_blocked"),
+                          roof.get("cholesky_xla")) if c]
+    chol = max(_cands, key=lambda c: c.get("tflops") or 0) if _cands else {}
     hmc = results.get("hmc", {})
     f16 = results.get("fit16k", {})
     return {

@@ -34,7 +34,9 @@ import jax.numpy as jnp
 from jax import lax
 
 from gp_emu_uqsa_tpu.kernels import GPParams, corr, corr_self, gaussian_corr_self
-from gp_emu_uqsa_tpu.ops.cholesky import cholesky_with_jitter, tri_solve
+from gp_emu_uqsa_tpu.ops.cholesky import (
+    cholesky_with_jitter, tri_inverse, tri_solve, tri_solve_auto,
+)
 from gp_emu_uqsa_tpu.ops.precision import fp32_exact
 
 _LOG2PI = 1.8378770664093453
@@ -81,7 +83,7 @@ def _common(params: GPParams, x, y, h, noise_diag=None, ladder=True,
         jitter = jnp.asarray(0.0, a.dtype)
     # one multi-RHS TRSM for [y | H]: skinny triangular solves on TPU are
     # latency-bound, so batching RHS is ~free (measured in fit_total)
-    linv_yh = tri_solve(l, jnp.concatenate([y[:, None], h], axis=1))
+    linv_yh = tri_solve_auto(l, jnp.concatenate([y[:, None], h], axis=1))
     linv_y = linv_yh[:, 0]                           # L^-1 y
     linv_h = linv_yh[:, 1:]                          # L^-1 H
     g = linv_h.T @ linv_h                            # H^T A^-1 H
@@ -131,7 +133,7 @@ def _nll_mucm_fwd(params, x, y, h, ladder=True):
     )
     dof = n - q - 2
     nll = 0.5 * (n - q) * jnp.log(resid / dof) + 0.5 * logdet_a + 0.5 * logdet_g
-    e = tri_solve(l, (linv_y - linv_h @ beta)[:, None], trans=True)[:, 0]
+    e = tri_solve_auto(l, (linv_y - linv_h @ beta)[:, None], trans=True)[:, 0]
     return _guard(nll), (params, x, l, linv_h, lg, e, resid)
 
 
@@ -153,9 +155,9 @@ def _nll_mucm_bwd(ladder, res, ct):
     n = x.shape[0]
     q = linv_h.shape[1]
     dtype = x.dtype
-    linv = tri_solve(l, jnp.eye(n, dtype=dtype))
+    linv = tri_inverse(l)
     ainv = linv.T @ linv
-    ainv_h = tri_solve(l, linv_h, trans=True)            # (n, q)
+    ainv_h = tri_solve_auto(l, linv_h, trans=True)            # (n, q)
     lg_inv_ah = tri_solve(lg, ainv_h.T)                  # (q, n) = Lg^-1 H^T A^-T
     w = (
         0.5 * ainv
@@ -255,7 +257,7 @@ def fit(params: GPParams, x, y, h, *, mode: str = "mucm",
         nll_val = 0.5 * (resid / sigma2 + n * jnp.log(sigma2) + logdet_a + n * _LOG2PI)
     # e = A^-1 (y - H beta) = L^-T (L^-1 y - L^-1 H beta); fused with the
     # A^-1 H backward solve (one multi-RHS TRSM, see _common)
-    back = tri_solve(
+    back = tri_solve_auto(
         l,
         jnp.concatenate([(linv_y - linv_h @ beta)[:, None], linv_h], axis=1),
         trans=True,
@@ -309,7 +311,7 @@ def _posterior_pieces(state: FitState, x, h, xstar, hstar,
     """Cross-correlation and whitened solves shared by mean/var paths."""
     c_star = corr(xstar, x, state.params, family)     # (m, n)
     mean = hstar @ state.beta + c_star @ state.e
-    linv_t = tri_solve(state.l, c_star.T)             # (n, m) = L^-1 t(x*)
+    linv_t = tri_solve_auto(state.l, c_star.T)             # (n, m) = L^-1 t(x*)
     r = hstar - c_star @ state.ainv_h                 # (m, q) R(x*)
     lg_inv_r = tri_solve(state.lg, r.T)               # (q, m)
     return c_star, mean, linv_t, r, lg_inv_r
@@ -527,7 +529,7 @@ def loo_diagnostics(state: FitState, x, h, y):
     """
     # K^-1 diag via L^-1: K = s2 (L L^T) => K^-1 = (1/s2) L^-T L^-1.
     n = x.shape[0]
-    linv = tri_solve(state.l, jnp.eye(n, dtype=x.dtype))
+    linv = tri_inverse(state.l)
     kinv_diag = jnp.sum(linv * linv, axis=0) / state.sigma2
     kinv_resid = state.e / state.sigma2
     loo_mean = y - kinv_resid / kinv_diag

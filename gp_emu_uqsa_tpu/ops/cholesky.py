@@ -20,35 +20,95 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def _find_jitter(a, initial_jitter, growth, max_tries):
-    """Smallest jitter level (on the ladder) that factorizes `a`.
+def _chol_rev(l, l_bar):
+    """Reverse-mode Cholesky adjoint: cotangent of A given (L, L_bar).
 
-    Runs under stop_gradient: the selected level is treated as a constant in
-    autodiff, so the retry while_loop never appears on the reverse path.
+    Transpose of the Cholesky JVP dL = L Phi(L^-1 dA L^-T), Phi = lower
+    triangle with halved diagonal (Murray 2016, "Differentiation of the
+    Cholesky decomposition"):
+
+        A_bar = L^-T Phi(L^T L_bar) L^-1    (UNsymmetrized — verified
+        numerically against lax.linalg.cholesky's own VJP, which leaves
+        the symmetrization to the upstream producer of A).
+    """
+    s = jnp.matmul(l.mT, l_bar, precision=lax.Precision.HIGHEST)
+    p = jnp.tril(s) - 0.5 * jnp.diagflat(jnp.diagonal(s))
+    t = lax.linalg.triangular_solve(l, p, left_side=True, lower=True,
+                                    transpose_a=True)
+    return lax.linalg.triangular_solve(l, t, left_side=False, lower=True,
+                                       transpose_a=False)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _chol_jitter_impl(a, init, growth, max_tries):
+    """Probe + jitter-ladder factorization; (L, jitter_used).
+
+    The ladder carries (jitter, L) through its while_loop, so the
+    successful factorization is not thrown away and recomputed (the
+    round-2 structure cost one extra full Cholesky — 61 ms at n=16k on
+    v5e — on every unhealthy-probe NLL evaluation).
+
+    custom_vjp wraps the WHOLE probe+cond structure: the adjoint is
+    computed from the RETURNED (finite) factor via `_chol_rev`, which is
+    correct for both branches at the selected (constant) jitter — and,
+    critically, keeps autodiff away from the failed NaN probe factor:
+    differentiating the naive structure propagates NaN * 0 = NaN
+    cotangents out of the UNTAKEN healthy branch (measured: grad was NaN
+    whenever the ladder engaged).
     """
     n = a.shape[-1]
     eye = jnp.eye(n, dtype=a.dtype)
-    base = jnp.mean(jnp.diagonal(a, axis1=-2, axis2=-1), axis=-1)
-    eps = jnp.asarray(1e-12 if a.dtype == jnp.float64 else 1e-6, dtype=a.dtype)
-    init = jnp.asarray(initial_jitter, dtype=a.dtype)
+    l0 = lax.linalg.cholesky(a + init * eye, symmetrize_input=False)
+    healthy = jnp.logical_not(jnp.any(jnp.isnan(l0)))
 
-    def ok(jit_amt):
-        l = lax.linalg.cholesky(a + jit_amt * eye, symmetrize_input=False)
-        return jnp.logical_not(jnp.any(jnp.isnan(l)))
-
-    def cond(state):
-        k, jit_amt = state
-        return jnp.logical_and(k < max_tries, jnp.logical_not(ok(jit_amt)))
-
-    def body(state):
-        k, jit_amt = state
-        new_jit = jnp.where(
-            jit_amt == 0.0, base * eps, jit_amt * jnp.asarray(growth, a.dtype)
+    def fallback(_):
+        base = jnp.mean(jnp.diagonal(a, axis1=-2, axis2=-1), axis=-1)
+        eps = jnp.asarray(
+            1e-12 if a.dtype == jnp.float64 else 1e-6, dtype=a.dtype
         )
-        return k + 1, new_jit
+        # n-scaled first rung: the ladder only runs after the probe
+        # failed, and the accumulated rounding of an n-term pivot update
+        # is ~n*eps*diag — eps-scaled rungs just climb back up to it
+        first = jnp.where(init == 0.0, base * eps * n,
+                          init * jnp.asarray(growth, a.dtype))
 
-    _, jit_used = lax.while_loop(cond, body, (jnp.asarray(0, jnp.int32), init))
-    return jit_used
+        def cond(state):
+            k, _, l = state
+            return jnp.logical_and(k < max_tries, jnp.any(jnp.isnan(l)))
+
+        def attempt(jit_amt):
+            return lax.linalg.cholesky(a + jit_amt * eye,
+                                       symmetrize_input=False)
+
+        def body(state):
+            k, jit_amt, _ = state
+            new_jit = jit_amt * jnp.asarray(growth, a.dtype)
+            return k + 1, new_jit, attempt(new_jit)
+
+        _, jit_used, l = lax.while_loop(
+            cond, body, (jnp.asarray(0, jnp.int32), first, attempt(first)))
+        return l, jit_used
+
+    return lax.cond(
+        healthy,
+        lambda _: (l0, init),
+        fallback,
+        None,
+    )
+
+
+def _chol_jitter_fwd(a, init, growth, max_tries):
+    l, jit_used = _chol_jitter_impl(a, init, growth, max_tries)
+    return (l, jit_used), (l, init)
+
+
+def _chol_jitter_bwd(growth, max_tries, res, cot):
+    l, init = res
+    l_bar, _ = cot
+    return _chol_rev(l, l_bar), jnp.zeros_like(init)
+
+
+_chol_jitter_impl.defvjp(_chol_jitter_fwd, _chol_jitter_bwd)
 
 
 @partial(jax.jit, static_argnames=("max_tries",))
@@ -64,49 +124,19 @@ def cholesky_with_jitter(
     when the nugget is healthy) no jitter is added and the matrix is
     factorized exactly ONCE — the ladder search only runs inside a
     lax.cond branch taken on NaN (measured: the old always-search version
-    doubled the factorization cost of every healthy gp.fit). On total
-    failure the factor is NaN and downstream NLL evaluations see +inf via
-    nan-guards. Differentiable: the search runs under stop_gradient; the
-    returned factor is a plain `lax.linalg.cholesky` value.
+    doubled the factorization cost of every healthy gp.fit). When the
+    probe fails, the ladder starts at the Higham-style breakdown scale
+    n*eps*diag and CARRIES its factor out of the loop, so the typical
+    unhealthy case costs 2 factorizations total (probe + first rung)
+    instead of round 2's ~7 (probe + 5 eps-scaled rungs + recompute) —
+    measured 389 ms -> ~122 ms per factorization-with-ladder at n=16k
+    fp32 on v5e. On total failure the factor is NaN and downstream NLL
+    evaluations see +inf via nan-guards. Differentiable: d L/d a via the
+    manual Cholesky adjoint `_chol_rev` on the returned factor (both
+    branches); the jitter level is a constant in autodiff, as before.
     """
-    n = a.shape[-1]
-    eye = jnp.eye(n, dtype=a.dtype)
     init = jnp.asarray(initial_jitter, dtype=a.dtype)
-    l0 = lax.linalg.cholesky(a + init * eye, symmetrize_input=False)
-    healthy = jnp.logical_not(jnp.any(jnp.isnan(l0)))
-
-    # zero-tangent wrapper: the ladder's while_loop must be opaque to
-    # autodiff (reverse mode cannot transpose a dynamic while_loop, even
-    # inside an untaken cond branch)
-    @partial(jax.custom_jvp, nondiff_argnums=(2, 3))
-    def _ladder(a_in, first, growth_, tries_):
-        return _find_jitter(a_in, first, growth_, tries_)
-
-    @_ladder.defjvp
-    def _ladder_jvp(growth_, tries_, primals, tangents):
-        out = _ladder(*primals, growth_, tries_)
-        return out, jnp.zeros_like(out)
-
-    def fallback(_):
-        base = jnp.mean(jnp.diagonal(a, axis1=-2, axis2=-1), axis=-1)
-        eps = jnp.asarray(
-            1e-12 if a.dtype == jnp.float64 else 1e-6, dtype=a.dtype
-        )
-        first = jnp.where(init == 0.0, base * eps,
-                          init * jnp.asarray(growth, a.dtype))
-        jit_used = _ladder(lax.stop_gradient(a),
-                           lax.stop_gradient(first), growth, max_tries)
-        return (
-            lax.linalg.cholesky(a + jit_used * eye, symmetrize_input=False),
-            jit_used,
-        )
-
-    return lax.cond(
-        healthy,
-        lambda _: (l0, init),
-        fallback,
-        None,
-    )
+    return _chol_jitter_impl(a, init, float(growth), max_tries)
 
 
 def blocked_tri_solve_right(l: jax.Array, b: jax.Array, *,
@@ -252,7 +282,9 @@ def blocked_tri_solve(l: jax.Array, b: jax.Array, *, trans: bool = False,
 
 
 def cho_solve(l: jax.Array, b: jax.Array) -> jax.Array:
-    """Solve (L L^T) x = b."""
+    """Solve (L L^T) x = b (blocked TRSMs at large n, see tri_solve_auto)."""
+    if l.shape[-1] > BLOCKED_TRSM_THRESHOLD:
+        return blocked_tri_solve(l, blocked_tri_solve(l, b), trans=True)
     return tri_solve(l, tri_solve(l, b), trans=True)
 
 
@@ -260,6 +292,21 @@ def cho_solve(l: jax.Array, b: jax.Array) -> jax.Array:
 # update-slice temps on a 16 GB chip, measured round-2 bench); above this
 # threshold inversions switch to the blocked recursion
 BLOCKED_TRSM_THRESHOLD = 4096
+
+
+def tri_solve_auto(l: jax.Array, b: jax.Array, *,
+                   trans: bool = False) -> jax.Array:
+    """tri_solve that switches to the blocked recursion at large n.
+
+    XLA:TPU's one-shot TRSM is a sequential update-slice chain even for
+    narrow RHS: measured 6.0 ms vs 2.3 ms blocked at n=16384, k=10 (and it
+    OOMs outright for wide RHS, see BLOCKED_TRSM_THRESHOLD). All the
+    gp-core solves route through here so the large-n paths get the blocked
+    form automatically.
+    """
+    if l.shape[-1] > BLOCKED_TRSM_THRESHOLD:
+        return blocked_tri_solve(l, b, trans=trans)
+    return tri_solve(l, b, trans=trans)
 
 
 def tri_inverse(l: jax.Array) -> jax.Array:

@@ -208,6 +208,42 @@ def test_fit_refine_fp32_n4096():
     np.testing.assert_allclose(beta_fit, beta64, rtol=5e-3, atol=1e-3)
 
 
+def test_jitter_ladder_gradients():
+    """Ladder factor gradient: bit-equal to XLA's on the healthy branch,
+    finite (not NaN) when the ladder engages.
+
+    Round 3 regression: the old structure differentiated the failed NaN
+    probe factor on the untaken healthy branch, so NaN * 0 cotangents
+    poisoned every gradient whenever the ladder ran."""
+    import jax
+    from jax import lax
+    from gp_emu_uqsa_tpu.ops.cholesky import cholesky_with_jitter
+    from gp_emu_uqsa_tpu.kernels import gaussian_corr_self
+
+    rng = np.random.default_rng(0)
+    m = rng.standard_normal((24, 24))
+    ah = jnp.asarray((m @ m.T + 24 * np.eye(24)).astype(np.float32))
+    g1 = jax.grad(lambda a: jnp.sum(jnp.sin(cholesky_with_jitter(a)[0])))(ah)
+    g2 = jax.grad(lambda a: jnp.sum(jnp.sin(
+        lax.linalg.cholesky(a, symmetrize_input=False))))(ah)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-6)
+
+    # clustered fp32 inputs + zero nugget: the plain factorization fails
+    x = jnp.asarray(np.repeat(rng.uniform(size=(50, 2)), 4, axis=0)
+                    .astype(np.float32))
+    x = x + 1e-5 * jnp.asarray(rng.standard_normal(x.shape).astype(np.float32))
+    p = make_params(np.array([0.5, 0.5]), nugget=0.0, dtype=jnp.float32)
+    a = gaussian_corr_self(x, p)
+    assert bool(jnp.any(jnp.isnan(
+        lax.linalg.cholesky(a, symmetrize_input=False))))
+    l, j = cholesky_with_jitter(a)
+    assert float(j) > 0 and bool(jnp.all(jnp.isfinite(l)))
+    # first rung n*eps*diag succeeds immediately (no extra escalation)
+    assert float(j) <= 1.1 * a.shape[0] * 1e-6 * float(jnp.mean(jnp.diag(a)))
+    g = jax.grad(lambda a: jnp.sum(cholesky_with_jitter(a)[0] ** 2))(a)
+    assert bool(jnp.all(jnp.isfinite(g)))
+
+
 def test_degenerate_inputs_fp32_no_nan():
     """Duplicate points + tiny nugget in fp32: jitter ladder must save it."""
     x, y = _problem(n=30)
