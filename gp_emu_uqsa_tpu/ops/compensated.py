@@ -152,8 +152,14 @@ def residual_compensated(a: jax.Array, x_sol: jax.Array, b: jax.Array, *,
     bl = (b_lo[:, None] if vec else b_lo) if b_lo is not None else \
         jnp.zeros_like(bb)
     n, m = a.shape
-    # ~4M-element product blocks: (r, m) pairs stay ~32 MB in fp32
-    row_chunk = int(min(n, max(8, (1 << 22) // max(1, m))))
+    # ~4M-element product blocks: the (r, m) hi/lo pairs stay ~32 MB in
+    # fp32. Measured optimum on TPU v5e at n=m=16k (bigger 16M blocks ran
+    # 1.9x SLOWER — the EFT chain's temporaries blow past VMEM and the
+    # fusion re-materializes); override via GP_EMU_RESIDUAL_BLOCK_LOG2.
+    import os as _os
+
+    budget = int(_os.environ.get("GP_EMU_RESIDUAL_BLOCK_LOG2", "22"))
+    row_chunk = int(min(n, max(8, (1 << budget) // max(1, m))))
     nc = -(-n // row_chunk)
     pad = nc * row_chunk - n
     a_c = jnp.pad(a, ((0, pad), (0, 0))).reshape(nc, row_chunk, m)
