@@ -52,8 +52,11 @@ N_PRED = 16384
 DIM = 8
 N_PRED_NUMPY = 256
 
+# core's budget covers ~5 first-compiles (~30-60 s each through the relay)
+# plus adaptive-reps timing; 420 s was measured borderline on a sluggish
+# relay. The overall BENCH_DEADLINE_S still clips the tail stages.
 STAGE_TIMEOUT_S = {
-    "core": 420.0,
+    "core": 600.0,
     "roofline": 600.0,
     "hmc": 420.0,
     "fit16k": 900.0,

@@ -40,20 +40,22 @@ TILE_N = 512
 _LANE = 128
 
 
-def _contract(c, rhs_tile, out_ref):
-    # HIGHEST on the RHS contraction: with DEFAULT the MXU runs ONE bf16
-    # pass, rounding both c and rhs to 8 mantissa bits — measured 0.13 abs
-    # error on a n=4096 matvec on hardware (serving e has large cancelling
-    # entries). This is the kernel's dominant MXU cost (6 bf16 passes).
+def _contract(c, rhs_tile, out_ref, prec):
+    # Never DEFAULT on the RHS contraction: a single bf16 MXU pass rounds
+    # both c and rhs to 8 mantissa bits — measured 0.13 abs error on a
+    # n=4096 matvec on hardware (serving e has large cancelling entries).
+    # HIGHEST (6 bf16 passes, fp32-exact) is the default; HIGH (3 passes,
+    # ~2^-16-relative operands) is the opt-in fast serving mode — this
+    # contraction is the kernel's dominant MXU cost.
     out_ref[:] += jax.lax.dot_general(
         c, rhs_tile,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=prec,
     )
 
 
-def _kernel_packed(pa_ref, pb_ref, rhs_ref, out_ref):
+def _kernel_packed(pa_ref, pb_ref, rhs_ref, out_ref, *, prec):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -68,10 +70,10 @@ def _kernel_packed(pa_ref, pb_ref, rhs_ref, out_ref):
         preferred_element_type=jnp.float32,
     )
     c = jnp.exp(-jnp.maximum(d2, 0.0))                  # (TM, TN) VMEM only
-    _contract(c, rhs_ref[:], out_ref)
+    _contract(c, rhs_ref[:], out_ref, prec)
 
 
-def _kernel_fp32(xs_ref, xt_ref, rhs_ref, out_ref):
+def _kernel_fp32(xs_ref, xt_ref, rhs_ref, out_ref, *, prec):
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -91,18 +93,26 @@ def _kernel_fp32(xs_ref, xt_ref, rhs_ref, out_ref):
     )
     d2 = jnp.maximum(ni + nj - 2.0 * cross, 0.0)
     c = jnp.exp(-d2)                                    # (TM, TN) in VMEM only
-    _contract(c, rhs_ref[:], out_ref)
+    _contract(c, rhs_ref[:], out_ref, prec)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def corr_matvec_pallas(xstar, x, delta, rhs, *, interpret: bool = False):
+@functools.partial(jax.jit, static_argnames=("interpret", "rhs_precision"))
+def corr_matvec_pallas(xstar, x, delta, rhs, *, interpret: bool = False,
+                       rhs_precision: str = "highest"):
     """exp(-D2(xstar/delta, x/delta)) @ rhs without materializing the block.
 
     xstar: (m, d); x: (n, d); delta: (d,); rhs: (n, r) or (n,), r <= 128.
     Returns (m, r) (or (m,) for vector rhs) in fp32. Zero-padded training
     rows are neutralized by zero-padding rhs (their correlation column is
     multiplied by a zero RHS row).
+
+    rhs_precision: "highest" (fp32-exact contraction, default) or "high"
+    (bf16x3: ~2x the contraction throughput at ~2^-16-relative operand
+    rounding — for throughput-first mean serving where sub-1e-4-relative
+    means are not required).
     """
+    prec = {"highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH}[rhs_precision]
     squeeze = rhs.ndim == 1
     if squeeze:
         rhs = rhs[:, None]
@@ -129,14 +139,14 @@ def corr_matvec_pallas(xstar, x, delta, rhs, *, interpret: bool = False):
         # same semantics as the fp32 path (c = 1, neutralized by zero rhs)
         op_a = pad_lanes(pack_dist_a(jnp.pad(xs, ((0, m_pad - m), (0, 0)))))
         op_b = pad_lanes(pack_dist_b(jnp.pad(xt, ((0, n_pad - n), (0, 0)))))
-        kernel = _kernel_packed
+        kernel = functools.partial(_kernel_packed, prec=prec)
         in_width = _LANE
         dist_flops = 2 * m_pad * n_pad * _LANE
     else:
         d_pad = pl.cdiv(d, _LANE) * _LANE
         op_a = jnp.pad(xs, ((0, m_pad - m), (0, d_pad - d)))
         op_b = jnp.pad(xt, ((0, n_pad - n), (0, d_pad - d)))
-        kernel = _kernel_fp32
+        kernel = functools.partial(_kernel_fp32, prec=prec)
         in_width = d_pad
         dist_flops = 6 * 2 * m_pad * n_pad * d_pad
 
@@ -168,21 +178,25 @@ def corr_matvec_pallas(xstar, x, delta, rhs, *, interpret: bool = False):
     return out[:, 0] if squeeze else out
 
 
-def serve_mean_pallas(pred, x, xstar, hstar, *, interpret: bool = False):
+def serve_mean_pallas(pred, x, xstar, hstar, *, interpret: bool = False,
+                      rhs_precision: str = "highest"):
     """Posterior mean at xstar via the fused kernel (mean-only serving).
 
     `pred` is a gp.Predictor; equivalent to gp.predict_fast(...)[0] but with
     no (m, n) HBM intermediate. Suitable for the 1M-point mean-serving path.
     """
     ce = corr_matvec_pallas(
-        xstar, x, jnp.exp(pred.params.log_delta), pred.e, interpret=interpret
+        xstar, x, jnp.exp(pred.params.log_delta), pred.e, interpret=interpret,
+        rhs_precision=rhs_precision,
     )
     return jnp.asarray(hstar, jnp.float32) @ pred.beta.astype(jnp.float32) + ce
 
 
-@functools.partial(jax.jit, static_argnames=("batch", "interpret"))
+@functools.partial(jax.jit, static_argnames=("batch", "interpret",
+                                              "rhs_precision"))
 def serve_mean_pallas_batched(pred, x, xstar, hstar, *, batch: int = 131072,
-                              interpret: bool = False):
+                              interpret: bool = False,
+                              rhs_precision: str = "highest"):
     """Mean-only serving at arbitrary m (e.g. the 1M-point BASELINE config 5).
 
     One `corr_matvec_pallas` call writes an (m_pad, 128) fp32 output block
@@ -200,7 +214,8 @@ def serve_mean_pallas_batched(pred, x, xstar, hstar, *, batch: int = 131072,
     xs = xs.reshape(nb, batch, xs.shape[1])
     hs = hs.reshape(nb, batch, hs.shape[1])
     out = jax.lax.map(
-        lambda ch: serve_mean_pallas(pred, x, ch[0], ch[1], interpret=interpret),
+        lambda ch: serve_mean_pallas(pred, x, ch[0], ch[1], interpret=interpret,
+                                     rhs_precision=rhs_precision),
         (xs, hs),
     )
     return out.reshape(m_pad)[:m]
