@@ -49,6 +49,22 @@ def main(n=1024, m=20000, d=8, block=256, verbose=True):
     float(var[-1])
     pred_s = time.perf_counter() - t0
 
+    # mean-only serving on TPU: the fused Pallas kernel streams the
+    # (m, n) cross-correlation block through VMEM — measured 5.9M points/s
+    # at m=1M, n=16k on a single v5e (docs/perf_tpu.md); pass
+    # rhs_precision="high" for the bf16x3 throughput mode
+    if jax.devices()[0].platform == "tpu":
+        from gp_emu_uqsa_tpu.ops.serve import serve_mean_pallas_batched
+
+        t0 = time.perf_counter()
+        mean_srv = serve_mean_pallas_batched(pred, x, xs, hs,
+                                             batch=min(m, 131072))
+        float(mean_srv[-1])
+        serve_s = time.perf_counter() - t0
+        if verbose:
+            print(f"fused mean serve m={m}: {serve_s:.2f}s "
+                  f"({m / serve_s:,.0f} points/s mean-only)")
+
     if verbose:
         print(f"distributed fit  n={n} on {n_dev} devices: {fit_s:.2f}s "
               f"(NLL={float(state.nll):.4g})")
