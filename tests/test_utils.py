@@ -70,3 +70,30 @@ def test_structured_logging(tmp_path):
     lines = [json.loads(line) for line in log.read_text().splitlines()]
     assert lines[0]["event"] == "fit" and lines[0]["nll"] == 1.23
     assert lines[1]["event"] == "predict" and "seconds" in lines[1]
+
+
+def test_adaptive_timed_scales_reps():
+    """utils/timing.timed: amortizes a fixed per-sync cost (the tunnel RTT
+    analog) by scaling reps until device time dominates, and returns a
+    per-op estimate within 2x of truth for a sub-'RTT' op."""
+    import time as _time
+
+    from gp_emu_uqsa_tpu.utils.timing import timed
+
+    op_s = 2e-4
+    rtt_s = 5e-3
+    calls = {"n": 0}
+
+    def fn():
+        calls["n"] += 1
+        _time.sleep(op_s)
+        return object()
+
+    def sync(_):
+        _time.sleep(rtt_s)
+
+    est = timed(fn, sync, min_total_s=0.05, max_reps=4096)
+    # naive 8-rep timing would report ~ (8*op + rtt)/8 ~ 8e-4 (4x off);
+    # the adaptive loop must land within ~2x
+    assert 0.5 * op_s < est < 2.0 * op_s, est
+    assert calls["n"] > 64  # reps actually scaled up
