@@ -111,7 +111,7 @@ def _chol_jitter_bwd(growth, max_tries, res, cot):
 _chol_jitter_impl.defvjp(_chol_jitter_fwd, _chol_jitter_bwd)
 
 
-@partial(jax.jit, static_argnames=("max_tries",))
+@partial(jax.jit, static_argnames=("growth", "max_tries"))
 def cholesky_with_jitter(
     a: jax.Array,
     initial_jitter: float | jax.Array = 0.0,

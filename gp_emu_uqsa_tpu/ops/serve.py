@@ -135,8 +135,11 @@ def corr_matvec_pallas(xstar, x, delta, rhs, *, interpret: bool = False,
 
     if packed:
         # lane-packed bf16x6 distance: 1 MXU pass instead of 6 (module doc
-        # of ops/mxu_packing.py); padded rows pack to zeros -> d2 = 0,
-        # same semantics as the fp32 path (c = 1, neutralized by zero rhs)
+        # of ops/mxu_packing.py). Note _pack emits constant 1-valued lanes
+        # per row, so a zero-padded row does NOT give d2 = 0 (it gives
+        # d2 = |b|^2, c = exp(-|b|^2) != 1); padded-row correlations are
+        # nonzero but harmless — padded training rows are neutralized by
+        # the zero-padded rhs, padded query rows are sliced off the output.
         op_a = pad_lanes(pack_dist_a(jnp.pad(xs, ((0, m_pad - m), (0, 0)))))
         op_b = pad_lanes(pack_dist_b(jnp.pad(xt, ((0, n_pad - n), (0, 0)))))
         kernel = functools.partial(_kernel_packed, prec=prec)

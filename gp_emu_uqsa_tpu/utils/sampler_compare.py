@@ -17,6 +17,7 @@ Recorded results + the resulting default live in docs/samplers.md.
 """
 from __future__ import annotations
 
+import json
 import time
 
 import numpy as np
@@ -111,7 +112,6 @@ def compare(n: int = 128, d: int = 4, n_chains: int = 16,
 
 
 if __name__ == "__main__":
-    import json
     import os
 
     # SAMPLER_COMPARE_FAST=1 quarters the draw budget (still ~4k total

@@ -244,6 +244,18 @@ def test_jitter_ladder_gradients():
     assert bool(jnp.all(jnp.isfinite(g)))
 
 
+def test_jitter_ladder_explicit_growth():
+    """Regression (ADVICE r3): an explicitly passed `growth` must not become
+    a tracer inside the jit wrapper (it is a static of the custom_vjp)."""
+    from gp_emu_uqsa_tpu.ops.cholesky import cholesky_with_jitter
+
+    rng = np.random.default_rng(3)
+    m = rng.standard_normal((16, 16))
+    a = jnp.asarray((m @ m.T + 16 * np.eye(16)).astype(np.float32))
+    l, j = cholesky_with_jitter(a, growth=20.0)
+    assert bool(jnp.all(jnp.isfinite(l))) and float(j) == 0.0
+
+
 def test_degenerate_inputs_fp32_no_nan():
     """Duplicate points + tiny nugget in fp32: jitter ladder must save it."""
     x, y = _problem(n=30)
