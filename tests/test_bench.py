@@ -71,3 +71,39 @@ def test_stage_failure_keeps_payload_parseable():
     back = json.loads(json.dumps(p))
     assert back["stages_failed"] == ["core"]
     assert back["stages_skipped"] == ["fit16k"]
+
+
+def test_stage_cache_round_trip(tmp_path, monkeypatch):
+    """Round-4 contract: a successful stage persists; a same-backend rerun
+    can recover it after a transient failure (VERDICT r3 next-step #1)."""
+    monkeypatch.setattr(bench, "CACHE_PATH", str(tmp_path / "cache.json"))
+    cache = bench._cache_load()
+    assert cache == {}
+    bench._cache_store(cache, "core", {"predict_points_per_s": 7.0}, tpu=True)
+    c2 = bench._cache_load()
+    assert c2["core"]["result"]["predict_points_per_s"] == 7.0
+    assert c2["core"]["tpu"] is True and "ts" in c2["core"]
+
+
+def test_cache_load_tolerates_corrupt_file(tmp_path, monkeypatch):
+    path = tmp_path / "cache.json"
+    path.write_text("{not json")
+    monkeypatch.setattr(bench, "CACHE_PATH", str(path))
+    assert bench._cache_load() == {}
+
+
+def test_payload_reports_cached_stages_and_error_tails():
+    p = _payload({"core": {"predict_points_per_s": 5000.0}},
+                 failed=["hmc"], cached=["core"],
+                 errors={"hmc": "rc=1: OOM"})
+    back = json.loads(json.dumps(p))
+    assert back["stages_cached"] == ["core"]
+    assert back["stage_errors"]["hmc"] == "rc=1: OOM"
+    assert back["value"] == 5000.0
+
+
+def test_run_stage_returns_error_tail_on_bad_stage():
+    """A crashing stage child must surface its stderr tail, not just None."""
+    out, err = bench._run_stage("no_such_stage", cpu=True, timeout_s=60.0)
+    assert out is None
+    assert err is not None and "rc=" in err
