@@ -455,6 +455,25 @@ def bench_numpy():
     return fit_s, len(xs) / pred_s
 
 
+def _scaling_summary() -> dict | None:
+    """Virtual-device scaling-efficiency numbers, if the harness has run.
+
+    tools/scaling_efficiency.py writes SCALING.json (1/2/4/8 virtual CPU
+    devices; efficiency = T(1)/T(N), isolating partitioning/collective
+    overhead — see that module's docstring for what the proxy can and
+    cannot measure).
+    """
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "SCALING.json")
+    try:
+        with open(path) as f:
+            sj = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+    return {"hmc_efficiency": sj.get("hmc_efficiency"),
+            "fit_large_efficiency": sj.get("fit_large_efficiency")}
+
+
 def _payload(results: dict, *, fit_np, pps_np, waited, cpu,
              failed, skipped, cached=(), errors=None) -> dict:
     """Assemble the cumulative artifact from whatever stages completed."""
@@ -508,6 +527,7 @@ def _payload(results: dict, *, fit_np, pps_np, waited, cpu,
         "numpy_fit_seconds": round(fit_np, 4) if fit_np else None,
         "device": core.get("device") or roof.get("device")
         or hmc.get("device") or "unknown",
+        "virtual_scaling": _scaling_summary(),
         "relay_waited_s": round(waited, 1),
         "tpu": not cpu,
         "stages_failed": failed,

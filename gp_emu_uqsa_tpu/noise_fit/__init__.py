@@ -56,6 +56,30 @@ class NoiseFitResult:
     y_log_noise: np.ndarray
 
 
+def _maximin_subset(x: np.ndarray, k: int) -> np.ndarray:
+    """Indices of a k-point farthest-point (maximin) subset of the rows of x.
+
+    The noise-estimation design: a space-filling subset of the TRAINING
+    inputs (noise targets only exist at observed points, so a free-standing
+    Latin hypercube cannot carry them; farthest-point sampling is the
+    maximin design restricted to the observed set). Greedy 2-approximation
+    of the maximin design, O(n k), deterministic (starts nearest the
+    centroid).
+    """
+    n = x.shape[0]
+    if k >= n:
+        return np.arange(n)
+    centroid = x.mean(axis=0)
+    first = int(np.argmin(((x - centroid) ** 2).sum(axis=1)))
+    chosen = [first]
+    min_d2 = ((x - x[first]) ** 2).sum(axis=1)
+    for _ in range(k - 1):
+        nxt = int(np.argmax(min_d2))
+        chosen.append(nxt)
+        min_d2 = np.minimum(min_d2, ((x - x[nxt]) ** 2).sum(axis=1))
+    return np.asarray(sorted(chosen))
+
+
 def noisefit_arrays(
     x,
     y,
@@ -65,8 +89,17 @@ def noisefit_arrays(
     tries: int = 4,
     seed: int = 0,
     message: bool = False,
+    design_size: Optional[int] = None,
 ) -> NoiseFitResult:
-    """Alternating heteroscedastic fit on arrays (scaled-input space)."""
+    """Alternating heteroscedastic fit on arrays (scaled-input space).
+
+    design_size: number of points in the noise-estimation design (the
+    reference's `olhcmult` semantics — it sizes the design the noise GP is
+    trained on, SURVEY.md S3 noise-fit row). None or >= n uses every
+    training point; smaller values train the noise GP on a maximin
+    (farthest-point) subset and predict the smoothed noise back onto the
+    full set, cutting the noise-GP cost from O(n^3) to O(design_size^3).
+    """
     x = np.asarray(x, dtype=np.float64)
     if x.ndim == 1:
         x = x[:, None]
@@ -76,6 +109,15 @@ def noisefit_arrays(
     xj = jnp.asarray(x)
     h = basis_matrix(xj, spec)
     key = jax.random.key(seed)
+    if design_size is not None and design_size < n:
+        sub = _maximin_subset(x, int(design_size))
+    else:
+        sub = None
+    if sub is not None:
+        xj_sub = xj[sub]
+        h_sub = basis_matrix(xj_sub, spec)
+    else:
+        xj_sub, h_sub = xj, h
 
     # initial homoscedastic noise estimate: residual var of a first GP fit
     data_cfg = MLEConfig(mode="gp4ml", tries=tries, train_nugget=True,
@@ -105,10 +147,13 @@ def noisefit_arrays(
         # chi^2_1 log-moment correction: E[log r^2] = log total + psi(1/2)+log2
         chi2_offset = float(special.digamma(0.5) + np.log(2.0))   # ~ -1.27036
         z = jnp.asarray(np.log(sq_resid) - chi2_offset)
-        # noise GP smooths log TOTAL variance over x
-        noise_params, _ = mle_fit(k2, xj, z, h, noise_cfg)
-        noise_state = gp.fit(noise_params, xj, z, h, mode="gp4ml")
-        z_mean, z_var = gp.predict(noise_state, xj, h, xj, h)
+        # noise GP smooths log TOTAL variance over x, trained on the
+        # noise-estimation design (all points, or the olhcmult-sized
+        # maximin subset) and predicted back onto the full training set
+        z_sub = z[sub] if sub is not None else z
+        noise_params, _ = mle_fit(k2, xj_sub, z_sub, h_sub, noise_cfg)
+        noise_state = gp.fit(noise_params, xj_sub, z_sub, h_sub, mode="gp4ml")
+        z_mean, z_var = gp.predict(noise_state, xj_sub, h_sub, xj, h)
         est_total = np.exp(np.asarray(z_mean + 0.5 * z_var))  # lognormal corr.
         # subtract the epistemic (latent) share of the LOO variance: what is
         # left is the pointwise noise. Current-model noise in y units:
@@ -169,6 +214,12 @@ def noisefit(
     writes per-iteration-style outputs next to the originals: the final
     smoothed noise estimates (`<outputs>-noise`) and the updated beliefs
     files for both GPs (`<beliefs>-f` of each config).
+
+    `olhcmult` sizes the noise-estimation design as olhcmult * d points
+    (reference semantics, SURVEY.md S3 noise-fit row: "olhcmult sizes the
+    design for noise-estimation points"): the per-iteration noise GP is
+    trained on a maximin subset of that size (see `_maximin_subset`) when
+    it is smaller than the training set, otherwise on all points.
     """
     dc = Config.from_file(data_conf)
     nc = Config.from_file(noise_conf)
@@ -178,8 +229,10 @@ def noisefit(
     y = y_raw[:, db.output] if y_raw.ndim == 2 and y_raw.shape[1] > 1 else y_raw.ravel()
     x_scaled, minmax = minmax_scale(x_raw if db.active is None else x_raw[:, db.active])
 
+    d_active = x_scaled.shape[1] if x_scaled.ndim == 2 else 1
     result = noisefit_arrays(
-        x_scaled, y, stopat=stopat, tries=max(dc.tries, 2), message=message
+        x_scaled, y, stopat=stopat, tries=max(dc.tries, 2), message=message,
+        design_size=int(olhcmult) * d_active,
     )
 
     out_path = Path(dc.outputs)

@@ -25,6 +25,7 @@ into out_ref is race-free (guide: "Grid and Block Specifications").
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -222,3 +223,255 @@ def serve_mean_pallas_batched(pred, x, xstar, hstar, *, batch: int = 131072,
         (xs, hs),
     )
     return out.reshape(m_pad)[:m]
+
+
+# --------------------------------------------------------------------------
+# fused mean + VARIANCE serving (VERDICT r3 next-step #2)
+# --------------------------------------------------------------------------
+#
+# The universal-kriging variance needs quad_t(x) = t(x)^T A^-1 t(x). The
+# XLA serving path (gp.predict_fast) runs it as c @ A^-1 (a full
+# Precision.HIGHEST GEMM: SIX bf16 MXU passes over every (j, k) pair) —
+# measured 18.6 s for 1M points at n=16k on v5e, 88% of it that one GEMM.
+# Two structural savings the compiler cannot find:
+#
+#   1. WHITENED FORM. A^-1 = W^T W with W = L^-1 lower-triangular, so
+#      quad_t = |W c|^2. Half of W is zeros -> half the MXU passes of the
+#      square GEMM, and the final reduction is a sum of SQUARES — the
+#      1/nugget-scale cancellation that forbids low precision in the
+#      c @ A^-1 form (gp.py predict_fast note) never reaches the
+#      accumulator: it happens inside each y_k dot at fp32 MXU precision.
+#   2. PRECISION TIER. With the cancellation tamed, the W contraction can
+#      run at Precision.HIGH (bf16x3: ~2^-17-relative operand splits,
+#      3 passes) instead of HIGHEST (6) — within the fp32 solve's own
+#      forward-error budget (measured bound: docs/numerics.md).
+#
+# Kernel shape: grid (i, k, j), j innermost. For each query tile i and
+# factor-row tile k, the correlation tile c(i, j) is rebuilt in VMEM from
+# the lane-packed operands (one bf16 MXU pass, ops/mxu_packing.py) and
+# contracted against W(k, j); j > k tiles are skipped (strict lower
+# profile) and their block fetches aliased to the diagonal so no zero
+# traffic moves. y(i, k) = sum_j c(i,j) W(k,j)^T accumulates in VMEM;
+# at the end of the j sweep its squares fold into a 128-lane partial-sum
+# output block (cross-lane reduction deferred to XLA). The large TILE_QM
+# amortizes the per-query-tile re-read of W (0.5 GB lower triangle at
+# n=16k): (m/TILE_QM) * n^2/2 * 4 bytes ~ 270 GB ~ 0.3 s at v5e HBM speed.
+
+TILE_QM = 2048     # query tile: amortizes the W re-read per query tile
+TILE_QN = 512      # factor tile: sets distance-rebuild overhead ~ 128/TQN
+
+
+def _quad_kernel(pa_ref, pb_ref, w_ref, out_ref, y_ref, *, prec, j_tiles):
+    k = pl.program_id(1)
+    j = pl.program_id(2)
+
+    @pl.when(jnp.logical_and(k == 0, j == 0))
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    @pl.when(j == 0)
+    def _():
+        y_ref[:] = jnp.zeros_like(y_ref)
+
+    @pl.when(j <= k)
+    def _():
+        # ONE bf16 MXU pass -> fp32-accurate D2 tile (ops/mxu_packing.py)
+        d2 = jax.lax.dot_general(
+            pa_ref[:], pb_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        c = jnp.exp(-jnp.maximum(d2, 0.0))              # (TQM, TQN)
+        # y += c @ W[k, j]^T ; W's strict upper tiles never reach here
+        y_ref[:] += jax.lax.dot_general(
+            c, w_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=prec,
+        )
+
+    @pl.when(j == j_tiles - 1)
+    def _():
+        yy = y_ref[:] * y_ref[:]
+        # fold TQN columns into 128 lanes with static slices (all-positive
+        # adds: no cancellation); XLA finishes the cross-lane sum
+        acc = yy[:, :_LANE]
+        for s in range(1, TILE_QN // _LANE):
+            acc = acc + yy[:, s * _LANE:(s + 1) * _LANE]
+        out_ref[:] += acc
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "quad_precision"))
+def corr_quad_pallas(xstar, x, delta, w_tri, *, interpret: bool = False,
+                     quad_precision: str = "highest"):
+    """quad(x*) = |W c(x*)|^2 = t(x*)^T A^-1 t(x*) without materializing c.
+
+    xstar: (m, d); x: (n, d); delta: (d,); w_tri: (n, n) LOWER-triangular
+    W = L^-1 (strict upper must be zero — those tiles are skipped).
+    Returns (m,) fp32. Requires the lane-packed layout (d <= 20); callers
+    fall back to the XLA path above that.
+
+    quad_precision: "highest" (6-pass fp32-exact contraction) or "high"
+    (bf16x3, ~2x the contraction throughput; error bound measured in
+    docs/numerics.md — safe because the |.|^2 reduction is cancellation-
+    free, unlike the c @ A^-1 form).
+    """
+    prec = {"highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH}[quad_precision]
+    xstar = jnp.asarray(xstar, jnp.float32)
+    x = jnp.asarray(x, jnp.float32)
+    m, d = xstar.shape
+    n = x.shape[0]
+    if packed_width(d) > _LANE:
+        raise ValueError(f"d={d} exceeds the packed layout; use predict_fast")
+    inv_delta = 1.0 / jnp.asarray(delta, jnp.float32)
+
+    m_pad = pl.cdiv(m, TILE_QM) * TILE_QM
+    n_pad = pl.cdiv(n, TILE_QN) * TILE_QN
+    # padded FACTOR rows/cols are zero (not identity): padded y rows stay 0
+    w = jnp.pad(jnp.asarray(w_tri, jnp.float32),
+                ((0, n_pad - n), (0, n_pad - n)))
+    op_a = pad_lanes(pack_dist_a(
+        jnp.pad(xstar * inv_delta, ((0, m_pad - m), (0, 0)))))
+    op_b = pad_lanes(pack_dist_b(
+        jnp.pad(x * inv_delta, ((0, n_pad - n), (0, 0)))))
+
+    j_tiles = n_pad // TILE_QN
+    grid = (m_pad // TILE_QM, j_tiles, j_tiles)
+    kernel = functools.partial(_quad_kernel, prec=prec, j_tiles=j_tiles)
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TILE_QM, _LANE), lambda i, k, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            # alias the skipped (j > k) fetches to the diagonal block:
+            # consecutive identical block indices are not re-fetched
+            pl.BlockSpec((TILE_QN, _LANE),
+                         lambda i, k, j: (jnp.minimum(j, k), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE_QN, TILE_QN),
+                         lambda i, k, j: (k, jnp.minimum(j, k)),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TILE_QM, _LANE), lambda i, k, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pad, _LANE), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((TILE_QM, TILE_QN), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            # distance rebuild over lower tiles + the 3/6-pass W GEMM
+            flops=(2 * m_pad * n_pad * _LANE * (j_tiles + 1) // 2 // j_tiles
+                   + (3 if quad_precision == "high" else 6)
+                   * m_pad * n_pad * n_pad // 2),
+            bytes_accessed=(m_pad // TILE_QM) * n_pad * n_pad * 2
+            + m_pad * _LANE * 6,
+            transcendentals=m_pad * n_pad * (j_tiles + 1) // 2 // j_tiles,
+        ),
+        interpret=interpret,
+    )(op_a, op_b, w)
+    return jnp.sum(out[:m], axis=1)
+
+
+class ServeState(NamedTuple):
+    """Serving-path state for the fused mean+variance Pallas path.
+
+    Like gp.Predictor but carries W = L^-1 (lower-triangular) instead of
+    the full A^-1: the quadratic runs in whitened form (see module notes).
+    """
+
+    params: object        # GPParams
+    beta: jax.Array       # (q,)
+    e: jax.Array          # (n,)
+    linv: jax.Array       # (n, n) lower-triangular L^-1
+    ainv_h: jax.Array     # (n, q)
+    w_chol: jax.Array     # (q, q) lower chol of G^-1
+    sigma2: jax.Array
+
+
+def serve_predictor(state) -> ServeState:
+    """Build the fused-serving state from a gp.FitState.
+
+    One O(n^3/2) triangular inversion (OOM-safe blocked recursion); after
+    that every 1M-point mean+var batch is two Pallas passes.
+    """
+    from jax import lax
+
+    from gp_emu_uqsa_tpu.ops.cholesky import tri_inverse, tri_solve
+
+    dtype = state.l.dtype
+    linv = jnp.tril(tri_inverse(state.l))
+    q = state.lg.shape[0]
+    lg_inv = tri_solve(state.lg, jnp.eye(q, dtype=dtype))
+    w = lg_inv.T @ lg_inv                      # G^-1
+    w_chol = lax.linalg.cholesky(w, symmetrize_input=True)
+    return ServeState(state.params, state.beta, state.e, linv,
+                      state.ainv_h, w_chol, state.sigma2)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "rhs_precision",
+                                             "quad_precision",
+                                             "include_nugget"))
+def serve_meanvar_pallas(spred: ServeState, x, xstar, hstar, *,
+                         interpret: bool = False,
+                         rhs_precision: str = "highest",
+                         quad_precision: str = "highest",
+                         include_nugget: bool = False):
+    """Posterior mean AND variance at xstar via two fused Pallas passes.
+
+    Pass 1 (corr_matvec_pallas): c @ [e | A^-1 H] — the mean contraction
+    and the R-term cross product in one RHS slab.
+    Pass 2 (corr_quad_pallas): |W c|^2 — the A^-1 quadratic in whitened,
+    triangular form.
+    The (m, n) correlation block never touches HBM. Equivalent to
+    gp.predict_fast (same math, reordered); tolerances: docs/numerics.md.
+    """
+    delta = jnp.exp(spred.params.log_delta)
+    q = spred.ainv_h.shape[1]
+    rhs = jnp.concatenate([spred.e[:, None], spred.ainv_h], axis=1)
+    slab = corr_matvec_pallas(xstar, x, delta, rhs, interpret=interpret,
+                              rhs_precision=rhs_precision)   # (m, 1+q)
+    ce = slab[:, 0]
+    c_ainv_h = slab[:, 1:]
+    hstar = jnp.asarray(hstar, jnp.float32)
+    mean = hstar @ spred.beta.astype(jnp.float32) + ce
+    quad_t = corr_quad_pallas(xstar, x, delta, spred.linv,
+                              interpret=interpret,
+                              quad_precision=quad_precision)
+    r = hstar - c_ainv_h                                     # (m, q)
+    rw = r @ spred.w_chol.astype(jnp.float32)
+    quad_r = jnp.sum(rw * rw, axis=1)
+    prior = 1.0 + (spred.params.nugget if include_nugget else 0.0)
+    var = spred.sigma2 * jnp.maximum(prior - quad_t + quad_r, 0.0)
+    return mean, var
+
+
+@functools.partial(jax.jit, static_argnames=("batch", "interpret",
+                                             "rhs_precision",
+                                             "quad_precision",
+                                             "include_nugget"))
+def serve_meanvar_pallas_batched(spred: ServeState, x, xstar, hstar, *,
+                                 batch: int = 65536,
+                                 interpret: bool = False,
+                                 rhs_precision: str = "highest",
+                                 quad_precision: str = "highest",
+                                 include_nugget: bool = False):
+    """Fused mean+variance serving at arbitrary m (BASELINE config 5).
+
+    lax.map over query chunks bounds the per-chunk Pallas scratch (the
+    (batch, 128) partial-sum blocks) regardless of m.
+    """
+    m = xstar.shape[0]
+    nb = pl.cdiv(m, batch)
+    m_pad = nb * batch
+    xs = jnp.pad(jnp.asarray(xstar, jnp.float32), ((0, m_pad - m), (0, 0)))
+    hs = jnp.pad(jnp.asarray(hstar, jnp.float32), ((0, m_pad - m), (0, 0)))
+    xs = xs.reshape(nb, batch, xs.shape[1])
+    hs = hs.reshape(nb, batch, hs.shape[1])
+    mean, var = jax.lax.map(
+        lambda ch: serve_meanvar_pallas(
+            spred, x, ch[0], ch[1], interpret=interpret,
+            rhs_precision=rhs_precision, quad_precision=quad_precision,
+            include_nugget=include_nugget),
+        (xs, hs),
+    )
+    return mean.reshape(m_pad)[:m], var.reshape(m_pad)[:m]

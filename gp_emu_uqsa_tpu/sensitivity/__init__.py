@@ -132,16 +132,56 @@ def plot_main_effects(
     return fig
 
 
+def plot_interaction_effect(
+    sens: Sensitivity,
+    i: int,
+    j: int,
+    points: int = 25,
+    save: Optional[str] = None,
+):
+    """Interaction surface I_{ij}(x_i, x_j) as a filled contour plot.
+
+    Reference `interaction_effect(i, j)` plots the pairwise interaction
+    surface (SURVEY.md S3 sensitivity row / S4.4); the raw arrays come from
+    `Sensitivity.interaction_effect`. Returns the Figure.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg", force=False)
+    import matplotlib.pyplot as plt
+
+    gi, gj, surf = sens.interaction_effect(i, j, points=points)
+    gi = np.asarray(gi)
+    gj = np.asarray(gj)
+    surf = np.asarray(surf)
+    fig, ax = plt.subplots(figsize=(6, 5))
+    # surf is indexed [i_idx, j_idx]; contourf expects Z[y, x] so transpose
+    cf = ax.contourf(gi, gj, surf.T, levels=20)
+    fig.colorbar(cf, ax=ax, label=f"$I_{{{i}{j}}}(x_{{{i}}}, x_{{{j}}})$")
+    ax.set_xlabel(f"x[{i}]")
+    ax.set_ylabel(f"x[{j}]")
+    ax.set_title(f"Interaction effect of inputs {i} and {j}")
+    fig.tight_layout()
+    if save:
+        fig.savefig(save, dpi=120)
+    return fig
+
+
 def sense_table(
     sens_list: Sequence[Sensitivity],
     input_names: Optional[Sequence[str]] = None,
     output_names: Optional[Sequence[str]] = None,
     save: Optional[str] = None,
+    *,
+    totals: bool = True,
 ):
     """Matplotlib table of sensitivity indices across emulators/outputs.
 
     Reference `sense_table(emuls, inputNames, outputNames)` (SURVEY.md S4.4).
-    Returns the Figure.
+    With `totals=True` (default) each input contributes two columns — the
+    first-order index S_i and the total-effect index S_Ti — so interaction-
+    heavy inputs are visible at a glance; `totals=False` reproduces the
+    S_i-only layout. Returns the Figure.
     """
     import matplotlib
 
@@ -156,18 +196,29 @@ def sense_table(
     rows = []
     for sens in sens_list:
         si = np.asarray(sens.sensitivity()["S_i"])
-        rows.append([f"{v:.3f}" for v in si])
-    fig, ax = plt.subplots(figsize=(1.5 + d, 1 + 0.5 * len(rows)))
+        if totals:
+            sti = np.asarray(sens.totaleffectvariance()["S_Ti"])
+            rows.append([f"{a:.3f} / {b:.3f}" for a, b in zip(si, sti)])
+        else:
+            rows.append([f"{v:.3f}" for v in si])
+    col_labels = (
+        [f"{nm}\nS / S_T" for nm in input_names] if totals else input_names
+    )
+    fig, ax = plt.subplots(figsize=(1.5 + (1.6 if totals else 1.0) * d,
+                                    1 + 0.5 * len(rows)))
     ax.axis("off")
     table = ax.table(
         cellText=rows,
         rowLabels=output_names,
-        colLabels=input_names,
+        colLabels=col_labels,
         loc="center",
         cellLoc="center",
     )
-    table.scale(1, 1.4)
-    ax.set_title("First-order sensitivity indices $S_i$")
+    table.scale(1, 1.6 if totals else 1.4)
+    ax.set_title(
+        "Sensitivity indices $S_i$ / total-effect $S_{Ti}$"
+        if totals else "First-order sensitivity indices $S_i$"
+    )
     fig.tight_layout()
     if save:
         fig.savefig(save, dpi=120)

@@ -2,7 +2,9 @@
 import numpy as np
 import pytest
 
-from gp_emu_uqsa_tpu.noise_fit import noisefit, noisefit_arrays, predict_noise
+from gp_emu_uqsa_tpu.noise_fit import (
+    _maximin_subset, noisefit, noisefit_arrays, predict_noise,
+)
 
 
 def _hetero_data(n=150, seed=0):
@@ -34,6 +36,33 @@ def test_recovers_noise_ramp():
     mean, _ = gp.predict(res.data_state, jnp.asarray(x), h, jnp.asarray(gs), hs)
     rmse = float(np.sqrt(np.mean((np.asarray(mean) - np.sin(2 * np.pi * gs[:, 0])) ** 2)))
     assert rmse < 0.15
+
+
+def test_maximin_subset_is_space_filling():
+    rng = np.random.default_rng(0)
+    x = rng.uniform(size=(200, 2))
+    idx = _maximin_subset(x, 20)
+    assert idx.shape == (20,) and len(set(idx.tolist())) == 20
+    # every point has a design point within a reasonable fill distance:
+    # 20 maximin points in [0,1]^2 must beat a coarse 3x3 grid's fill
+    d2 = ((x[:, None, :] - x[idx][None, :, :]) ** 2).sum(-1)
+    assert float(np.sqrt(d2.min(axis=1).max())) < 0.34
+    # k >= n returns everything
+    assert np.array_equal(_maximin_subset(x[:5], 9), np.arange(5))
+
+
+def test_design_size_changes_behavior_and_still_recovers_ramp():
+    """VERDICT r3 missing #4: `olhcmult` must size the noise-estimation
+    design, not be silently ignored."""
+    x, y, _ = _hetero_data(n=120, seed=1)
+    res_full = noisefit_arrays(x, y, stopat=2, tries=2)
+    res_sub = noisefit_arrays(x, y, stopat=2, tries=2, design_size=40)
+    # behavior differs (the noise GP saw different training sets)
+    assert not np.allclose(res_full.noise_at_train, res_sub.noise_at_train)
+    # but the ramp is still recovered from the 40-point design
+    grid = np.linspace(0.05, 0.95, 10)[:, None]
+    sd_pred = np.sqrt(predict_noise(res_sub, grid))
+    assert sd_pred[-1] > 2.0 * sd_pred[0], sd_pred
 
 
 def test_file_driven_noisefit(tmp_path):

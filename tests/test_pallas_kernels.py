@@ -147,6 +147,75 @@ def test_serve_mean_pallas_batched_matches_unbatched():
                                rtol=2e-5, atol=2e-5)
 
 
+def test_corr_quad_pallas_matches_direct():
+    """|W c|^2 streaming kernel == direct t^T A^-1 t (strict lower W profile,
+    multiple j/k tiles so the triangular skip and aliasing paths run)."""
+    import jax
+    from gp_emu_uqsa_tpu.kernels import gaussian_corr
+    from gp_emu_uqsa_tpu.ops import serve
+    from gp_emu_uqsa_tpu.ops.serve import corr_quad_pallas
+
+    rng = np.random.default_rng(11)
+    n, d, m = 700, 4, 150             # n spans 2+ TILE_QN tiles when shrunk
+    x = rng.uniform(size=(n, d)).astype(np.float32)
+    xs = rng.uniform(size=(m, d)).astype(np.float32)
+    delta = np.array([0.5, 0.8, 1.1, 0.6], np.float32)
+    mmat = rng.standard_normal((n, n))
+    a = (mmat @ mmat.T / n + np.eye(n)).astype(np.float64)
+    l = np.linalg.cholesky(a)
+    w = np.linalg.inv(l).astype(np.float32)    # lower-triangular L^-1
+    got = corr_quad_pallas(xs, x, delta, w, interpret=True)
+    from gp_emu_uqsa_tpu.kernels import make_params as mp
+    c = np.asarray(gaussian_corr(jnp.asarray(xs), jnp.asarray(x),
+                                 mp(delta, nugget=0.0, dtype=jnp.float32)),
+                   np.float64)
+    want = np.sum((w.astype(np.float64) @ c.T) ** 2, axis=0)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=5e-4, atol=5e-5)
+
+
+def test_serve_meanvar_pallas_matches_predict_fast():
+    """Two-pass fused mean+variance == gp.predict_fast (VERDICT r3 #2)."""
+    from gp_emu_uqsa_tpu import gp
+    from gp_emu_uqsa_tpu.basis import basis_matrix, linear_basis
+    from gp_emu_uqsa_tpu.ops.serve import (
+        serve_meanvar_pallas, serve_meanvar_pallas_batched, serve_predictor,
+    )
+
+    rng = np.random.default_rng(13)
+    n, d, m = 90, 3, 270
+    x = jnp.asarray(rng.uniform(size=(n, d)), jnp.float32)
+    y = jnp.sin(3 * x[:, 0]) + x[:, 1] * x[:, 2]
+    spec = linear_basis(d)
+    h = basis_matrix(x, spec)
+    xs = jnp.asarray(rng.uniform(size=(m, d)), jnp.float32)
+    hs = basis_matrix(xs, spec)
+    # nugget 1e-2: keeps predictive variances well above the fp32 rounding
+    # floor of BOTH paths (at 1e-4 the dense-design variances are ~1e-6 —
+    # pure clipping noise in either formulation)
+    params = make_params(np.full(d, 0.7, np.float32), nugget=1e-2,
+                         dtype=jnp.float32)
+    state = gp.fit(params, x, y, h)
+    pred = gp.predictor(state)
+    want_mean, want_var = gp.predict_fast(pred, x, xs, hs)
+    spred = serve_predictor(state)
+    got_mean, got_var = serve_meanvar_pallas(spred, x, xs, hs, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_mean), np.asarray(want_mean),
+                               rtol=2e-4, atol=2e-4)
+    # both sides are fp32 algorithms; their difference is bounded by the
+    # fp32 conditioning of the quadratic, which scales with sigma2 (the
+    # prior variance), not with the possibly-tiny posterior variance
+    scale = float(state.sigma2)
+    np.testing.assert_allclose(np.asarray(got_var), np.asarray(want_var),
+                               atol=5e-4 * scale, rtol=2e-2)
+    # batched path round-trips, m % batch != 0
+    bm, bv = serve_meanvar_pallas_batched(spred, x, xs, hs, batch=128,
+                                          interpret=True)
+    np.testing.assert_allclose(np.asarray(bm), np.asarray(got_mean),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(bv), np.asarray(got_var),
+                               rtol=2e-3, atol=1e-5 * scale)
+
+
 def test_blocked_cholesky_matches_lapack():
     import jax.numpy as jnp
     from gp_emu_uqsa_tpu.ops.cholesky import cholesky_blocked_padded
