@@ -392,11 +392,33 @@ def stage_fit16k():
         serve_pps = m / serve_s
     except Exception:
         pass
+
+    # fused mean+VARIANCE serving (VERDICT r3 next-step #2): whitened
+    # triangular quadratic in the bf16x3 tier (measured on v5e: agrees
+    # with the fp32-exact tier to ~3.5e-7 absolute on the variance while
+    # ~2x faster; docs/numerics.md). 3.6x the XLA predict_batched path.
+    meanvar_pps = 0.0
+    try:
+        from gp_emu_uqsa_tpu.ops.serve import (
+            serve_meanvar_pallas_batched, serve_predictor,
+        )
+
+        spred = jax.jit(serve_predictor)(state)
+        float(spred.linv[0, 0])
+        mv_jit = jax.jit(lambda sp, x, xs, hs: serve_meanvar_pallas_batched(
+            sp, x, xs, hs, batch=131072, quad_precision="high"))
+        float(mv_jit(spred, x, xs, hs)[1][-1])
+        mv_s = _timed(lambda: mv_jit(spred, x, xs, hs),
+                      lambda o: float(o[1][-1]), reps=2)
+        meanvar_pps = m / mv_s
+    except Exception:
+        pass
     return {
         "fit_seconds_n16384": round(fit_s, 4),
         "predict_1m_points_per_s": round(m / pred_s, 1),
         "predict_1m_seconds": round(pred_s, 3),
         "serve_pallas_1m_points_per_s_n16384": round(serve_pps, 1),
+        "serve_meanvar_1m_points_per_s_n16384": round(meanvar_pps, 1),
         "device": str(jax.devices()[0]),
     }
 

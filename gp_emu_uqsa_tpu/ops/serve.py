@@ -257,11 +257,36 @@ def serve_mean_pallas_batched(pred, x, xstar, hstar, *, batch: int = 131072,
 # amortizes the per-query-tile re-read of W (0.5 GB lower triangle at
 # n=16k): (m/TILE_QM) * n^2/2 * 4 bytes ~ 270 GB ~ 0.3 s at v5e HBM speed.
 
-TILE_QM = 2048     # query tile: amortizes the W re-read per query tile
+# VMEM budget (measured on v5e: 16 MB scoped limit, and pallas double-
+# buffers every block): TQM=1024/TQN=512 puts the per-step working set at
+# y (2 MB) + out (0.5 MB) + w (1 MB) + pa (0.25 MB) + pb (0.13 MB) ~ 3.9 MB,
+# ~7.8 MB double-buffered. TQM=2048 measured 22.96 MB scoped -> Mosaic OOM.
+TILE_QM = 1024     # query tile: amortizes the W re-read per query tile
 TILE_QN = 512      # factor tile: sets distance-rebuild overhead ~ 128/TQN
 
 
-def _quad_kernel(pa_ref, pb_ref, w_ref, out_ref, y_ref, *, prec, j_tiles):
+def _corr_tile(pa_ref, pb_ref):
+    """ONE bf16 MXU pass -> fp32-accurate correlation tile (mxu_packing)."""
+    d2 = jax.lax.dot_general(
+        pa_ref[:], pb_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return jnp.exp(-jnp.maximum(d2, 0.0))
+
+
+def _quad_epilogue(out_ref, y_ref):
+    yy = y_ref[:] * y_ref[:]
+    # fold TQN columns into 128 lanes with static slices (all-positive
+    # adds: no cancellation); XLA finishes the cross-lane sum
+    acc = yy[:, :_LANE]
+    for s in range(1, TILE_QN // _LANE):
+        acc = acc + yy[:, s * _LANE:(s + 1) * _LANE]
+    out_ref[:] += acc
+
+
+def _quad_kernel(pa_ref, pb_ref, w_ref, out_ref, y_ref, *, j_tiles):
+    """fp32-exact tier: Precision.HIGHEST on the W contraction (6 passes)."""
     k = pl.program_id(1)
     j = pl.program_id(2)
 
@@ -275,30 +300,65 @@ def _quad_kernel(pa_ref, pb_ref, w_ref, out_ref, y_ref, *, prec, j_tiles):
 
     @pl.when(j <= k)
     def _():
-        # ONE bf16 MXU pass -> fp32-accurate D2 tile (ops/mxu_packing.py)
-        d2 = jax.lax.dot_general(
-            pa_ref[:], pb_ref[:],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        c = jnp.exp(-jnp.maximum(d2, 0.0))              # (TQM, TQN)
+        c = _corr_tile(pa_ref, pb_ref)                  # (TQM, TQN)
         # y += c @ W[k, j]^T ; W's strict upper tiles never reach here
         y_ref[:] += jax.lax.dot_general(
             c, w_ref[:],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=prec,
+            precision=jax.lax.Precision.HIGHEST,
         )
 
     @pl.when(j == j_tiles - 1)
     def _():
-        yy = y_ref[:] * y_ref[:]
-        # fold TQN columns into 128 lanes with static slices (all-positive
-        # adds: no cancellation); XLA finishes the cross-lane sum
-        acc = yy[:, :_LANE]
-        for s in range(1, TILE_QN // _LANE):
-            acc = acc + yy[:, s * _LANE:(s + 1) * _LANE]
-        out_ref[:] += acc
+        _quad_epilogue(out_ref, y_ref)
+
+
+def _quad_kernel_bf16x3(pa_ref, pb_ref, whi_ref, wlo_ref, out_ref, y_ref, *,
+                        j_tiles):
+    """bf16x3 tier: Mosaic has no Precision.HIGH lowering, so the 3-pass
+    algorithm is spelled out — W arrives pre-split (hi, lo) bf16; the
+    in-VMEM c tile is split here and the lo*lo term (~2^-16 relative) is
+    dropped. Same bytes as fp32 W, half the MXU passes of HIGHEST."""
+    k = pl.program_id(1)
+    j = pl.program_id(2)
+
+    @pl.when(jnp.logical_and(k == 0, j == 0))
+    def _():
+        out_ref[:] = jnp.zeros_like(out_ref)
+
+    @pl.when(j == 0)
+    def _():
+        y_ref[:] = jnp.zeros_like(y_ref)
+
+    @pl.when(j <= k)
+    def _():
+        c = _corr_tile(pa_ref, pb_ref)
+        # TRUNCATION split via bit masking: optimization_barrier has no
+        # Mosaic lowering, and the barrier-free convert round-trip
+        # c - f32(bf16(c)) risks the excess-precision fold
+        # (ops/mxu_packing.py::_split3). Zeroing the low 16 mantissa bits
+        # gives an EXACTLY bf16-representable hi part (Dekker-style:
+        # c - c_hi is then exact in fp32, |c_lo| < 2^-8 |c|), and integer
+        # ops cannot be folded away.
+        c_bits = jax.lax.bitcast_convert_type(c, jnp.uint32)
+        c_hi32 = jax.lax.bitcast_convert_type(
+            c_bits & jnp.uint32(0xFFFF0000), jnp.float32)
+        c_hi = c_hi32.astype(jnp.bfloat16)
+        c_lo = (c - c_hi32).astype(jnp.bfloat16)
+
+        def dot(a, b):
+            return jax.lax.dot_general(
+                a, b, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        y_ref[:] += (dot(c_hi, whi_ref[:]) + dot(c_hi, wlo_ref[:])
+                     + dot(c_lo, whi_ref[:]))
+
+    @pl.when(j == j_tiles - 1)
+    def _():
+        _quad_epilogue(out_ref, y_ref)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "quad_precision"))
@@ -312,12 +372,13 @@ def corr_quad_pallas(xstar, x, delta, w_tri, *, interpret: bool = False,
     fall back to the XLA path above that.
 
     quad_precision: "highest" (6-pass fp32-exact contraction) or "high"
-    (bf16x3, ~2x the contraction throughput; error bound measured in
-    docs/numerics.md — safe because the |.|^2 reduction is cancellation-
-    free, unlike the c @ A^-1 form).
+    (bf16x3 spelled out — Mosaic has no Precision.HIGH lowering — ~2x the
+    contraction throughput; error bound measured in docs/numerics.md —
+    safe because the |.|^2 reduction is cancellation-free, unlike the
+    c @ A^-1 form).
     """
-    prec = {"highest": jax.lax.Precision.HIGHEST,
-            "high": jax.lax.Precision.HIGH}[quad_precision]
+    if quad_precision not in ("highest", "high"):
+        raise ValueError(f"unknown quad_precision {quad_precision!r}")
     xstar = jnp.asarray(xstar, jnp.float32)
     x = jnp.asarray(x, jnp.float32)
     m, d = xstar.shape
@@ -338,22 +399,38 @@ def corr_quad_pallas(xstar, x, delta, w_tri, *, interpret: bool = False,
 
     j_tiles = n_pad // TILE_QN
     grid = (m_pad // TILE_QM, j_tiles, j_tiles)
-    kernel = functools.partial(_quad_kernel, prec=prec, j_tiles=j_tiles)
+    pa_spec = pl.BlockSpec((TILE_QM, _LANE), lambda i, k, j: (i, 0),
+                           memory_space=pltpu.VMEM)
+    # alias the skipped (j > k) fetches to the diagonal block: consecutive
+    # identical block indices are not re-fetched
+    pb_spec = pl.BlockSpec((TILE_QN, _LANE),
+                           lambda i, k, j: (jnp.minimum(j, k), 0),
+                           memory_space=pltpu.VMEM)
+
+    def w_spec(dtype_bytes):
+        del dtype_bytes
+        return pl.BlockSpec((TILE_QN, TILE_QN),
+                            lambda i, k, j: (k, jnp.minimum(j, k)),
+                            memory_space=pltpu.VMEM)
+
+    if quad_precision == "high":
+        # pre-split W for the spelled-out bf16x3 kernel (barrier on the
+        # ROUNDED value: the excess-precision hazard, ops/mxu_packing.py)
+        w_hi = jax.lax.optimization_barrier(w.astype(jnp.bfloat16))
+        w_lo = (w - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        kernel = functools.partial(_quad_kernel_bf16x3, j_tiles=j_tiles)
+        operands = (op_a, op_b, w_hi, w_lo)
+        in_specs = [pa_spec, pb_spec, w_spec(2), w_spec(2)]
+        gemm_passes = 3
+    else:
+        kernel = functools.partial(_quad_kernel, j_tiles=j_tiles)
+        operands = (op_a, op_b, w)
+        in_specs = [pa_spec, pb_spec, w_spec(4)]
+        gemm_passes = 6
     out = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((TILE_QM, _LANE), lambda i, k, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            # alias the skipped (j > k) fetches to the diagonal block:
-            # consecutive identical block indices are not re-fetched
-            pl.BlockSpec((TILE_QN, _LANE),
-                         lambda i, k, j: (jnp.minimum(j, k), 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_QN, TILE_QN),
-                         lambda i, k, j: (k, jnp.minimum(j, k)),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((TILE_QM, _LANE), lambda i, k, j: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m_pad, _LANE), jnp.float32),
@@ -361,14 +438,13 @@ def corr_quad_pallas(xstar, x, delta, w_tri, *, interpret: bool = False,
         cost_estimate=pl.CostEstimate(
             # distance rebuild over lower tiles + the 3/6-pass W GEMM
             flops=(2 * m_pad * n_pad * _LANE * (j_tiles + 1) // 2 // j_tiles
-                   + (3 if quad_precision == "high" else 6)
-                   * m_pad * n_pad * n_pad // 2),
+                   + gemm_passes * m_pad * n_pad * n_pad // 2),
             bytes_accessed=(m_pad // TILE_QM) * n_pad * n_pad * 2
             + m_pad * _LANE * 6,
             transcendentals=m_pad * n_pad * (j_tiles + 1) // 2 // j_tiles,
         ),
         interpret=interpret,
-    )(op_a, op_b, w)
+    )(*operands)
     return jnp.sum(out[:m], axis=1)
 
 

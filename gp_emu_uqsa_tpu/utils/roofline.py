@@ -178,8 +178,8 @@ def measure(n: int = 4096, d: int = 8, m: int = 8192, dtype=None):
 
 
 def measure_hmc(n_chains: int = 64, n: int = 1024, d: int = 8,
-                n_samples: int = 128, n_warmup: int = 128,
-                n_leapfrog: int = 16):
+                n_samples: int = 64, n_warmup: int = 64,
+                n_leapfrog: int = 8):
     """HMC post-warmup samples/s/chip + min-ESS/s (BASELINE config 4).
 
     All chains run as one batched jit program on the local chip; multiply
@@ -193,6 +193,13 @@ def measure_hmc(n_chains: int = 64, n: int = 1024, d: int = 8,
     measured by a separate warmup-dominated run and subtracted), and
     quality-adjusted throughput is reported as min-ESS/s over dimensions
     (machinery shared with utils/sampler_compare.py).
+
+    Dispatch-length budget: the whole run is ONE device execution
+    (lax.scan), and the remote-TPU relay crashes on long executions
+    (measured: 128x16-leapfrog at n=1024/64 chains — ~25 s on-device —
+    killed the worker; CLAUDE.md hazard). The 64x8 default keeps each run
+    ~3 s on-device. Throughput is per-draw, so the shorter chain changes
+    the ESS estimate's resolution, not the samples/s number.
     """
     import jax
     import jax.numpy as jnp

@@ -171,6 +171,12 @@ def test_corr_quad_pallas_matches_direct():
                    np.float64)
     want = np.sum((w.astype(np.float64) @ c.T) ** 2, axis=0)
     np.testing.assert_allclose(np.asarray(got), want, rtol=5e-4, atol=5e-5)
+    # the bf16x3 tier (spelled-out splits) must agree too; interpret mode
+    # runs its dots in fp32, so this checks the split/recombine algebra —
+    # the true bf16x3 rounding is measured on hardware (docs/numerics.md)
+    got_hi = corr_quad_pallas(xs, x, delta, w, interpret=True,
+                              quad_precision="high")
+    np.testing.assert_allclose(np.asarray(got_hi), want, rtol=1e-3, atol=1e-4)
 
 
 def test_serve_meanvar_pallas_matches_predict_fast():

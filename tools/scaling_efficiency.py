@@ -89,7 +89,7 @@ out["hmc_s"] = timeit(
     lambda: jax.block_until_ready(run(jax.random.key(0), z0)[0]))
 
 # --- fit_large: recursive distributed Cholesky over `mr` ---------------
-n, d = 1024, 4
+n, d = 2048, 4
 x = jnp.asarray(rng.uniform(size=(n, d)), jnp.float32)
 y = jnp.sin(3.0 * x[:, 0]) + x[:, 1]
 h = basis_matrix(x, linear_basis(d))
@@ -137,17 +137,27 @@ def main() -> dict:
         results[str(n_dev)] = out
         print(f"# n_dev={n_dev}: hmc {out['hmc_s']:.3f}s, "
               f"fit_large {out['fit_large_s']:.3f}s", file=sys.stderr)
+    cores = os.cpu_count() or 1
     payload = {"device_counts": list(results), "runs": results,
+               "physical_cores": cores,
                "note": ("fixed-size problems on shared physical cores: "
-                        "efficiency(N) = T(1)/T(N) isolates partitioning/"
-                        "collective overhead, not ICI transfer cost "
-                        "(see module docstring)")}
+                        "raw efficiency(N) = T(1)/T(N) is meaningful only "
+                        "while N <= cores; beyond that the host itself is "
+                        "oversubscribed N/cores-fold, so the corrected "
+                        "figure divides out that forced serialization "
+                        "(see module docstring; neither includes ICI "
+                        "transfer cost)")}
     if "1" in results:
         for metric in ("hmc_s", "fit_large_s"):
             base = results["1"][metric]
-            payload[metric.replace("_s", "_efficiency")] = {
-                k: round(base / v[metric], 3) for k, v in results.items()
-            }
+            eff = {}
+            eff_corr = {}
+            for k, v in results.items():
+                eff[k] = round(base / v[metric], 3)
+                oversub = max(1.0, int(k) / cores)
+                eff_corr[k] = round(base * oversub / v[metric], 3)
+            payload[metric.replace("_s", "_efficiency")] = eff
+            payload[metric.replace("_s", "_efficiency_corrected")] = eff_corr
     with open(os.path.join(REPO, "SCALING.json"), "w") as f:
         json.dump(payload, f, indent=1)
     print(json.dumps(payload))
