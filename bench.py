@@ -493,7 +493,11 @@ def _scaling_summary() -> dict | None:
     except (OSError, json.JSONDecodeError):
         return None
     return {"hmc_efficiency": sj.get("hmc_efficiency"),
-            "fit_large_efficiency": sj.get("fit_large_efficiency")}
+            "fit_large_efficiency": sj.get("fit_large_efficiency"),
+            "hmc_efficiency_corrected": sj.get("hmc_efficiency_corrected"),
+            "fit_large_efficiency_corrected": sj.get(
+                "fit_large_efficiency_corrected"),
+            "physical_cores": sj.get("physical_cores")}
 
 
 def _payload(results: dict, *, fit_np, pps_np, waited, cpu,

@@ -359,16 +359,26 @@ class Predictor(NamedTuple):
 
     TPU-first design: the exact predict() path pays an O(n^2 m) triangular
     solve per batch — TRSM maps poorly onto the MXU. Precomputing
-    A^-1 (one O(n^3) cost at fit time) turns the variance term
-    t(x)^T A^-1 t(x) into a plain GEMM + elementwise reduce, and the
-    R-term likewise, so batched prediction runs at matmul speed. Accuracy
-    cost is ~kappa(A)*eps relative on the variance, fine for serving.
+    W = L^-1 (one O(n^3) cost at fit time) turns the variance term
+    t(x)^T A^-1 t(x) into the WHITENED quadratic |W t(x)|^2 — a plain GEMM
+    + cancellation-free sum of squares — and the R-term likewise, so
+    batched prediction runs at matmul speed.
+
+    Round-4 note: the previous layout stored A^-1 and computed
+    sum((c @ A^-1) * c, 1). That form cancels 1/nugget-scale entries down
+    to O(1 - quad): adjudicated against an fp64 reference at n=16384
+    (nugget at the fp32 ladder floor), its median quadratic error was
+    6.1e-2 — i.e. O(100%) of the predictive variance — while the whitened
+    form measures 6.1e-6 max at identical FLOP cost (docs/numerics.md).
+    The |.|^2 reduction cannot cancel, so every term it sums is exact-
+    positive; all the cancellation happens inside the fp32 MXU
+    accumulator of one GEMM row.
     """
 
     params: GPParams
     beta: jax.Array       # (q,)
     e: jax.Array          # (n,)
-    ainv: jax.Array       # (n, n)
+    linv: jax.Array       # (n, n) lower-triangular W = L^-1
     ainv_h_w: jax.Array   # (n, q) A^-1 H G^-1 (half of the R-term quadratic)
     ainv_h: jax.Array     # (n, q)
     w_chol: jax.Array     # (q, q) lower chol of G^-1
@@ -377,20 +387,24 @@ class Predictor(NamedTuple):
 
 @fp32_exact
 def predictor(state: FitState, x=None, h=None) -> Predictor:
-    """Build the GEMM-only serving predictor from a fit state."""
-    dtype = state.l.dtype
-    # OOM-safe inversion: one-shot (n, n) TRSM blows up XLA:TPU at n=16k
-    # (65 GB of update-slice temps on a 16 GB chip); spd_inverse_from_chol
-    # switches to the blocked recursion above BLOCKED_TRSM_THRESHOLD
-    from gp_emu_uqsa_tpu.ops.cholesky import spd_inverse_from_chol
+    """Build the GEMM-only serving predictor from a fit state.
 
-    ainv = spd_inverse_from_chol(state.l)
+    One O(n^3/2) triangular inversion (OOM-safe blocked recursion above
+    BLOCKED_TRSM_THRESHOLD — the one-shot (n, n) TRSM made XLA:TPU
+    materialize 65 GB of update-slice temps at n=16k); the round-3 layout
+    additionally paid an n^3 HIGHEST GEMM to square it into A^-1, which
+    the whitened form no longer needs.
+    """
+    dtype = state.l.dtype
+    from gp_emu_uqsa_tpu.ops.cholesky import tri_inverse
+
+    linv = jnp.tril(tri_inverse(state.l))
     q = state.lg.shape[0]
     lg_inv = tri_solve(state.lg, jnp.eye(q, dtype=dtype))
     w = lg_inv.T @ lg_inv                      # G^-1
     w_chol = lax.linalg.cholesky(w, symmetrize_input=True)
     return Predictor(
-        state.params, state.beta, state.e, ainv, state.ainv_h @ w,
+        state.params, state.beta, state.e, linv, state.ainv_h @ w,
         state.ainv_h, w_chol, state.sigma2,
     )
 
@@ -400,14 +414,18 @@ def predict_fast(pred: Predictor, x, xstar, hstar, *, include_nugget=False,
                  family: str = "gaussian"):
     """Batched posterior mean/var via GEMMs only (serving hot path).
 
-    NOTE a bf16 variant of the A^-1 quadratic form was tried and removed:
-    A^-1 entries scale like 1/nugget and the form cancels to O(sigma2), so
-    bf16's 8-bit mantissa produces O(1) relative variance error. Keep fp32.
+    The variance quadratic runs in whitened form |W c|^2 (see Predictor) —
+    same GEMM shape as the old c @ A^-1 form, ~4 orders of magnitude more
+    accurate at n=16k. HIGHEST precision on the whitening GEMM: its
+    operands still need fp32 mantissas (W entries reach 1/sqrt(nugget));
+    the fused Pallas path (ops/serve.py) additionally offers a measured
+    bf16x3 tier.
     """
     c_star = corr(xstar, x, pred.params, family)           # (m, n)
     mean = hstar @ pred.beta + c_star @ pred.e
-    av = c_star @ pred.ainv                                # (m, n) GEMM
-    quad_t = jnp.sum(av * c_star, axis=1)
+    u = jnp.matmul(c_star, pred.linv.T,
+                   precision=lax.Precision.HIGHEST)        # (m, n) = (W c)^T
+    quad_t = jnp.sum(u * u, axis=1)
     r = hstar - c_star @ pred.ainv_h                       # (m, q)
     rw = r @ pred.w_chol                                   # (m, q)
     quad_r = jnp.sum(rw * rw, axis=1)

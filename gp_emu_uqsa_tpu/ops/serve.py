@@ -25,7 +25,6 @@ into out_ref is race-free (guide: "Grid and Block Specifications").
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -448,46 +447,23 @@ def corr_quad_pallas(xstar, x, delta, w_tri, *, interpret: bool = False,
     return jnp.sum(out[:m], axis=1)
 
 
-class ServeState(NamedTuple):
-    """Serving-path state for the fused mean+variance Pallas path.
+def serve_predictor(state):
+    """Build the serving state from a gp.FitState.
 
-    Like gp.Predictor but carries W = L^-1 (lower-triangular) instead of
-    the full A^-1: the quadratic runs in whitened form (see module notes).
+    Since round 4 this is just gp.predictor: the GEMM-only Predictor
+    itself carries W = L^-1 (whitened quadratic — gp.Predictor docstring),
+    which is exactly what the fused Pallas path streams. Kept as a named
+    entry point for the serving workflow.
     """
+    from gp_emu_uqsa_tpu import gp
 
-    params: object        # GPParams
-    beta: jax.Array       # (q,)
-    e: jax.Array          # (n,)
-    linv: jax.Array       # (n, n) lower-triangular L^-1
-    ainv_h: jax.Array     # (n, q)
-    w_chol: jax.Array     # (q, q) lower chol of G^-1
-    sigma2: jax.Array
-
-
-def serve_predictor(state) -> ServeState:
-    """Build the fused-serving state from a gp.FitState.
-
-    One O(n^3/2) triangular inversion (OOM-safe blocked recursion); after
-    that every 1M-point mean+var batch is two Pallas passes.
-    """
-    from jax import lax
-
-    from gp_emu_uqsa_tpu.ops.cholesky import tri_inverse, tri_solve
-
-    dtype = state.l.dtype
-    linv = jnp.tril(tri_inverse(state.l))
-    q = state.lg.shape[0]
-    lg_inv = tri_solve(state.lg, jnp.eye(q, dtype=dtype))
-    w = lg_inv.T @ lg_inv                      # G^-1
-    w_chol = lax.linalg.cholesky(w, symmetrize_input=True)
-    return ServeState(state.params, state.beta, state.e, linv,
-                      state.ainv_h, w_chol, state.sigma2)
+    return gp.predictor(state)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "rhs_precision",
                                              "quad_precision",
                                              "include_nugget"))
-def serve_meanvar_pallas(spred: ServeState, x, xstar, hstar, *,
+def serve_meanvar_pallas(spred, x, xstar, hstar, *,
                          interpret: bool = False,
                          rhs_precision: str = "highest",
                          quad_precision: str = "highest",
@@ -525,7 +501,7 @@ def serve_meanvar_pallas(spred: ServeState, x, xstar, hstar, *,
                                              "rhs_precision",
                                              "quad_precision",
                                              "include_nugget"))
-def serve_meanvar_pallas_batched(spred: ServeState, x, xstar, hstar, *,
+def serve_meanvar_pallas_batched(spred, x, xstar, hstar, *,
                                  batch: int = 65536,
                                  interpret: bool = False,
                                  rhs_precision: str = "highest",

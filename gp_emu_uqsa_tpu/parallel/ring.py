@@ -9,15 +9,18 @@ queries as Q and training shards as the rotating K/V:
   pass 1: rotate (X_shard, e_shard):   chip accumulates its queries' full
           cross-correlation rows t (m/p, n) block-by-block and the full e,
           giving the posterior MEAN with no replication of X or e.
-  pass 2: rotate A^-1 column-blocks:   per visit, one (m/p, n/p) GEMM
-          u = t @ Ainv_block meets the matching t columns for the variance
-          quadratic form; only scalars per query accumulate.
+  pass 2: rotate W = L^-1 ROW-blocks:  per visit, one (m/p, n/p) GEMM
+          u = t @ W_rows^T; the variance quadratic |W t|^2 accumulates as
+          sum(u^2) — each W row-block's contribution is independent and
+          cancellation-free (round-4 whitened form, gp.Predictor note:
+          the old A^-1 column rotation carried O(100%) variance error at
+          n=16k), so only scalars per query cross hop boundaries.
 
 Comm volume: n d + n (pass 1) + n^2/p per hop (pass 2) — the n^2 term rides
 ICI and overlaps the O(m n^2 / p^2) per-hop GEMMs. The R-term pieces
 (A^-1 H, W-chol, beta: O(nq + q^2)) are replicated — q is tiny.
 
-The Predictor (gp.predictor) supplies e / A^-1 / A^-1 H / W-chol; this
+The Predictor (gp.predictor) supplies e / W / A^-1 H / W-chol; this
 module only re-lays them out over the mesh.
 """
 from __future__ import annotations
@@ -45,7 +48,7 @@ def ring_predict(
     axis: str = "data",
     include_nugget: bool = False,
 ):
-    """Posterior mean/var at xstar with x, e, A^-1 sharded over `axis`.
+    """Posterior mean/var at xstar with x, e, W = L^-1 sharded over `axis`.
 
     Returns host-viewable (mean, var) of len(xstar).
     """
@@ -56,9 +59,9 @@ def ring_predict(
     n_pad = x_p.shape[0]
     blk = n_pad // p
     # pad the training-side vectors consistently; padded rows contribute 0
-    # because e and Ainv rows/cols are zero there
+    # because e and W rows/cols are zero there
     e_p, _ = pad_to_multiple(pred.e, p)
-    ainv_p = jnp.zeros((n_pad, n_pad), pred.ainv.dtype).at[:n, :n].set(pred.ainv)
+    linv_p = jnp.zeros((n_pad, n_pad), pred.linv.dtype).at[:n, :n].set(pred.linv)
     ainv_h_p, _ = pad_to_multiple(pred.ainv_h, p)
     # keep padded x rows FAR from queries so corr ~ exp(-large) doesn't matter
     # (they're multiplied by zero e/Ainv anyway)
@@ -71,9 +74,9 @@ def ring_predict(
     sigma2 = pred.sigma2
     prior = 1.0 + (params.nugget if include_nugget else 0.0)
 
-    def local(xq, hq, x_sh, e_sh, ainv_cols, ainv_h_sh):
+    def local(xq, hq, x_sh, e_sh, w_rows, ainv_h_sh):
         """Per-shard body under shard_map; shapes: xq (m/p, d), x_sh (n/p, d),
-        ainv_cols (n/p, n_pad) = my COLUMN block of A^-1 (transposed layout),
+        w_rows (n/p, n_pad) = my ROW block of W = L^-1,
         ainv_h_sh (n/p, q)."""
         me = jax.lax.axis_index(axis).astype(jnp.int32)
         m_loc = xq.shape[0]
@@ -110,20 +113,19 @@ def ring_predict(
         rw = r @ w_chol
         quad_r = jnp.sum(rw * rw, axis=1)
 
-        # ---- pass 2: rotate A^-1 column blocks for the t quadratic form --
+        # ---- pass 2: rotate W row blocks for the whitened quadratic ------
+        # |W t|^2 = sum over row blocks |W_rows t^T|^2: block contributions
+        # are independent nonneg scalars per query — no cross-hop
+        # cancellation (gp.Predictor round-4 note)
         def body2(i, carry):
-            quad, cols_vis = carry
-            src = (me - i.astype(jnp.int32)) % p
-            t_cols = jax.lax.dynamic_slice(
-                t, (jnp.asarray(0, jnp.int32), src * jnp.asarray(blk, jnp.int32)),
-                (m_loc, blk)
-            )                                                  # (m/p, n/p)
-            u = t @ cols_vis.T                                 # (m/p, n/p)
-            quad = quad + jnp.sum(u * t_cols, axis=1)
-            return (quad, rot(cols_vis))
+            quad, rows_vis = carry
+            u = jnp.matmul(t, rows_vis.T,
+                           precision=jax.lax.Precision.HIGHEST)  # (m/p, n/p)
+            quad = quad + jnp.sum(u * u, axis=1)
+            return (quad, rot(rows_vis))
 
         quad_t, _ = jax.lax.fori_loop(
-            0, p, body2, (jnp.zeros((m_loc,), xq.dtype), ainv_cols)
+            0, p, body2, (jnp.zeros((m_loc,), xq.dtype), w_rows)
         )
         var = sigma2 * jnp.maximum(prior - quad_t + quad_r, 0.0)
         return mean, var
@@ -144,7 +146,7 @@ def ring_predict(
         jax.device_put(hs_p, shard),
         jax.device_put(x_p, shard),
         jax.device_put(e_p, shard),
-        jax.device_put(ainv_p, shard2),   # row-sharded == my column block^T
+        jax.device_put(linv_p, shard2),   # W row blocks
         jax.device_put(ainv_h_p, shard),
     )
     return mean[:m_orig], var[:m_orig]

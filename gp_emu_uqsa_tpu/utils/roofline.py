@@ -178,7 +178,7 @@ def measure(n: int = 4096, d: int = 8, m: int = 8192, dtype=None):
 
 
 def measure_hmc(n_chains: int = 64, n: int = 1024, d: int = 8,
-                n_samples: int = 64, n_warmup: int = 64,
+                n_samples: int = 32, n_warmup: int = 32,
                 n_leapfrog: int = 8):
     """HMC post-warmup samples/s/chip + min-ESS/s (BASELINE config 4).
 
@@ -196,9 +196,10 @@ def measure_hmc(n_chains: int = 64, n: int = 1024, d: int = 8,
 
     Dispatch-length budget: the whole run is ONE device execution
     (lax.scan), and the remote-TPU relay crashes on long executions
-    (measured: 128x16-leapfrog at n=1024/64 chains — ~25 s on-device —
-    killed the worker; CLAUDE.md hazard). The 64x8 default keeps each run
-    ~3 s on-device. Throughput is per-draw, so the shorter chain changes
+    (measured escalation at n=1024/64 chains/8 leapfrog: 32+32 draws
+    [~20 s on-device] runs; 64+64 draws [~40 s] kills the worker —
+    CLAUDE.md hazard). The 32x8 default is the measured-safe production-
+    scale config. Throughput is per-draw, so the shorter chain changes
     the ESS estimate's resolution, not the samples/s number.
     """
     import jax

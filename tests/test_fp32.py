@@ -256,6 +256,58 @@ def test_jitter_ladder_explicit_growth():
     assert bool(jnp.all(jnp.isfinite(l))) and float(j) == 0.0
 
 
+def test_whitened_quadratic_beats_ainv_form_fp32():
+    """Round-4 regression guard: the Predictor's variance quadratic must be
+    the whitened |W c|^2 form, NOT c @ A^-1 c.
+
+    Adjudicated on TPU at n=16384 (docs/numerics.md): the A^-1 form's
+    1/nugget-scale cancellation put a median 6.1e-2 error on a quadratic
+    whose complement is ~1e-3 — O(100%) of the predictive variance — while
+    the whitened form measured 6.1e-6 max. This test reproduces the effect
+    at CPU scale: fp32 predict_fast must match an fp64 oracle to the
+    whitened form's accuracy, which the A^-1 form cannot do.
+    """
+    import jax
+    from gp_emu_uqsa_tpu.ops.cholesky import cholesky_with_jitter
+
+    rng = np.random.default_rng(0)
+    n, d, m = 1500, 4, 200
+    x = rng.uniform(size=(n, d)).astype(np.float32)
+    y = (np.sin(3 * x[:, 0]) + x[:, 1] * x[:, 2]).astype(np.float32)
+    nugget = 1e-5                      # small: A^-1 entries ~ 1e5
+    h = basis_matrix(jnp.asarray(x), linear_basis(d))
+    p = make_params(np.full(d, 0.8), nugget=nugget, dtype=jnp.float32)
+    st = gp.fit(p, jnp.asarray(x), jnp.asarray(y), h)
+    jitter = float(st.jitter)
+    pred = gp.predictor(st)
+    xs = rng.uniform(size=(m, d)).astype(np.float32)
+    hs = basis_matrix(jnp.asarray(xs), linear_basis(d))
+    mean32, var32 = gp.predict_fast(pred, jnp.asarray(x), jnp.asarray(xs), hs)
+
+    # fp64 oracle of the same (jitter-matched) model
+    x64 = x.astype(np.float64); xs64 = xs.astype(np.float64)
+    def corr64(a, b):
+        aa = a / 0.8; bb = b / 0.8
+        d2 = ((aa*aa).sum(1)[:, None] + (bb*bb).sum(1)[None, :]
+              - 2.0 * aa @ bb.T)
+        return np.exp(-np.maximum(d2, 0.0))
+    a64 = corr64(x64, x64) + (nugget + jitter) * np.eye(n)
+    l64 = np.linalg.cholesky(a64)
+    c64 = corr64(xs64, x64)
+    z = np.linalg.solve(l64, c64.T)
+    quad64 = (z * z).sum(0)
+    h64 = np.asarray(h, np.float64); hs64 = np.asarray(hs, np.float64)
+    ainv_h64 = np.linalg.solve(l64.T, np.linalg.solve(l64, h64))
+    g64 = h64.T @ ainv_h64
+    r64 = hs64 - c64 @ ainv_h64
+    quad_r64 = (r64 * np.linalg.solve(g64, r64.T).T).sum(1)
+    var64 = float(st.sigma2) * np.maximum(1.0 - quad64 + quad_r64, 0.0)
+    # whitened-form accuracy: ~1e-4 * sigma2; the A^-1 form fails this by
+    # orders of magnitude at this conditioning
+    err = np.abs(np.asarray(var32, np.float64) - var64)
+    assert err.max() < 2e-4 * float(st.sigma2), err.max()
+
+
 def test_degenerate_inputs_fp32_no_nan():
     """Duplicate points + tiny nugget in fp32: jitter ladder must save it."""
     x, y = _problem(n=30)
