@@ -192,13 +192,26 @@ CACHE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
 def _cache_load() -> dict:
     try:
         with open(CACHE_PATH) as f:
-            return json.load(f)
+            cache = json.load(f)
     except (OSError, json.JSONDecodeError):
         return {}
+    # migrate legacy entries keyed by bare stage name (pre backend-keying)
+    for k in [k for k in cache if ":" not in k]:
+        entry = cache.pop(k)
+        cache.setdefault(_cache_key(k, bool(entry.get("tpu"))), entry)
+    return cache
+
+
+def _cache_key(name: str, tpu: bool) -> str:
+    """Backend-qualified key: a CPU-fallback run must never overwrite the
+    cached TPU result for the same stage (that would defeat the backfill
+    the cache exists for — code-review r4 finding #1)."""
+    return f"{'tpu' if tpu else 'cpu'}:{name}"
 
 
 def _cache_store(cache: dict, name: str, result: dict, tpu: bool) -> None:
-    cache[name] = {"result": result, "tpu": tpu, "ts": int(time.time())}
+    cache[_cache_key(name, tpu)] = {
+        "result": result, "tpu": tpu, "ts": int(time.time())}
     try:
         with open(CACHE_PATH, "w") as f:
             json.dump(cache, f, indent=1)
@@ -597,8 +610,8 @@ def main():
 
     def fill_from_cache(name: str) -> bool:
         """Merge a previous same-backend result for a failed/skipped stage."""
-        entry = cache.get(name)
-        if entry and entry.get("tpu") == (not cpu) and name not in results:
+        entry = cache.get(_cache_key(name, not cpu))
+        if entry and name not in results:
             results[name] = entry["result"]
             cached.append(name)
             return True

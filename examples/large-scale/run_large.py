@@ -49,21 +49,32 @@ def main(n=1024, m=20000, d=8, block=256, verbose=True):
     float(var[-1])
     pred_s = time.perf_counter() - t0
 
-    # mean-only serving on TPU: the fused Pallas kernel streams the
-    # (m, n) cross-correlation block through VMEM — measured 5.9M points/s
-    # at m=1M, n=16k on a single v5e (docs/perf_tpu.md); pass
-    # rhs_precision="high" for the bf16x3 throughput mode
+    # fused serving on TPU: Pallas streams the (m, n) cross-correlation
+    # block through VMEM — measured at m=1M, n=16k on a single v5e
+    # (docs/perf_tpu.md): 5.9M points/s mean-only; 201k points/s
+    # mean+variance with the whitened bf16x3 quadratic (3.6x the XLA
+    # GEMM path, and ~4 orders of magnitude more accurate than the old
+    # c @ A^-1 form — docs/numerics.md)
     if jax.devices()[0].platform == "tpu":
-        from gp_emu_uqsa_tpu.ops.serve import serve_mean_pallas_batched
+        from gp_emu_uqsa_tpu.ops.serve import (
+            serve_mean_pallas_batched, serve_meanvar_pallas_batched,
+        )
 
         t0 = time.perf_counter()
         mean_srv = serve_mean_pallas_batched(pred, x, xs, hs,
                                              batch=min(m, 131072))
         float(mean_srv[-1])
         serve_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        mean_mv, var_mv = serve_meanvar_pallas_batched(
+            pred, x, xs, hs, batch=min(m, 131072), quad_precision="high")
+        float(var_mv[-1])
+        mv_s = time.perf_counter() - t0
         if verbose:
             print(f"fused mean serve m={m}: {serve_s:.2f}s "
                   f"({m / serve_s:,.0f} points/s mean-only)")
+            print(f"fused mean+var serve m={m}: {mv_s:.2f}s "
+                  f"({m / mv_s:,.0f} points/s mean+var, bf16x3 quad)")
 
     if verbose:
         print(f"distributed fit  n={n} on {n_dev} devices: {fit_s:.2f}s "

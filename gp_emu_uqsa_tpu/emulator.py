@@ -40,6 +40,27 @@ from gp_emu_uqsa_tpu.kernels import GPParams, make_params
 
 _MIN_NUGGET = 1e-10
 
+# module-level jitted serving programs: sharing them across Emulator
+# instances/refits lets XLA's compile cache hit on unchanged shapes (a
+# per-rebuild jax.jit(...) wrapper would retrace + recompile every refit
+# — code-review r4 finding #3)
+_predictor_jit = jax.jit(gp.predictor)
+
+
+def _predict_batched_jit_factory():
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("include_nugget", "family"))
+    def run(pred, x, xs, hs, include_nugget, family):
+        return gp.predict_batched(pred, x, xs, hs,
+                                  include_nugget=include_nugget,
+                                  family=family)
+
+    return run
+
+
+_predict_batched_jit = _predict_batched_jit_factory()
+
 
 def _bounds_pair(bounds_list, d):
     """Reference per-dim [(lo,hi),...] bounds -> (lo_vec, hi_vec) arrays."""
@@ -198,19 +219,14 @@ class Emulator:
         """Jitted GEMM-only serving path, cached per fit state.
 
         One O(n^3) `gp.predictor` build per (re)fit; after that every
-        predict() call is a single compiled program (no per-call TRSM
-        retracing — VERDICT r3 weak #7).
+        predict() call hits the shared module-level compiled program (no
+        per-call TRSM retracing — VERDICT r3 weak #7 — and no per-refit
+        recompilation: the jit wrappers live at module scope).
         """
         if self._serve_cache is None or self._serve_cache[0] is not self.state:
-            pred = jax.jit(gp.predictor)(self.state)
-            fn = jax.jit(
-                lambda pr, x, xs, hs, include_nugget: gp.predict_batched(
-                    pr, x, xs, hs, include_nugget=include_nugget,
-                    family=self.mle_config.family),
-                static_argnames=("include_nugget",),
-            )
-            self._serve_cache = (self.state, pred, fn)
-        return self._serve_cache[1], self._serve_cache[2]
+            pred = _predictor_jit(self.state)
+            self._serve_cache = (self.state, pred)
+        return self._serve_cache[1]
 
     def predict(self, x_new, *, full_cov=False, include_nugget=False):
         """Posterior mean and variance at raw-space inputs x_new.
@@ -230,8 +246,9 @@ class Emulator:
                 include_nugget=include_nugget, family=self.mle_config.family,
             )
         else:
-            pred, fn = self._serving()
-            mean, var = fn(pred, x, xs, hs, include_nugget)
+            pred = self._serving()
+            mean, var = _predict_batched_jit(pred, x, xs, hs, include_nugget,
+                                             self.mle_config.family)
         if self.fixed_beta is not None:
             hraw = basis_matrix(xs, self.spec)
             mean = mean + hraw @ jnp.asarray(self.fixed_beta, dtype=self.dtype)

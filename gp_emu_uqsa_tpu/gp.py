@@ -411,20 +411,24 @@ def predictor(state: FitState, x=None, h=None) -> Predictor:
 
 @fp32_exact
 def predict_fast(pred: Predictor, x, xstar, hstar, *, include_nugget=False,
-                 family: str = "gaussian"):
+                 family: str = "gaussian", quad_precision: str = "highest"):
     """Batched posterior mean/var via GEMMs only (serving hot path).
 
     The variance quadratic runs in whitened form |W c|^2 (see Predictor) —
     same GEMM shape as the old c @ A^-1 form, ~4 orders of magnitude more
-    accurate at n=16k. HIGHEST precision on the whitening GEMM: its
-    operands still need fp32 mantissas (W entries reach 1/sqrt(nugget));
-    the fused Pallas path (ops/serve.py) additionally offers a measured
-    bf16x3 tier.
+    accurate at n=16k.
+
+    quad_precision: "highest" (default; fp32-exact bf16x6 on TPU) or
+    "high" (bf16x3: ~2x the quadratic's MXU throughput at ~2^-17-relative
+    operand rounding — safe ONLY because the whitened reduction is
+    cancellation-free; the Pallas tier of the same algorithm measured
+    <= 4.7e-5 absolute quad error at n=16k, docs/numerics.md).
     """
+    prec = {"highest": lax.Precision.HIGHEST,
+            "high": lax.Precision.HIGH}[quad_precision]
     c_star = corr(xstar, x, pred.params, family)           # (m, n)
     mean = hstar @ pred.beta + c_star @ pred.e
-    u = jnp.matmul(c_star, pred.linv.T,
-                   precision=lax.Precision.HIGHEST)        # (m, n) = (W c)^T
+    u = jnp.matmul(c_star, pred.linv.T, precision=prec)    # (m, n) = (W c)^T
     quad_t = jnp.sum(u * u, axis=1)
     r = hstar - c_star @ pred.ainv_h                       # (m, q)
     rw = r @ pred.w_chol                                   # (m, q)
@@ -436,7 +440,8 @@ def predict_fast(pred: Predictor, x, xstar, hstar, *, include_nugget=False,
 
 @fp32_exact
 def predict_batched(pred: Predictor, x, xstar, hstar, *, batch: int = 65536,
-                    include_nugget: bool = False, family: str = "gaussian"):
+                    include_nugget: bool = False, family: str = "gaussian",
+                    quad_precision: str = "highest"):
     """predict_fast over query chunks: bounds peak memory at O(batch * n).
 
     The m x n cross-correlation block never materializes for the full query
@@ -448,7 +453,8 @@ def predict_batched(pred: Predictor, x, xstar, hstar, *, batch: int = 65536,
     m = xstar.shape[0]
     if m <= batch:
         return predict_fast(pred, x, xstar, hstar,
-                            include_nugget=include_nugget, family=family)
+                            include_nugget=include_nugget, family=family,
+                            quad_precision=quad_precision)
     n_chunks = -(-m // batch)
     m_pad = n_chunks * batch
     xs_p = jnp.pad(xstar, ((0, m_pad - m), (0, 0)))
@@ -459,7 +465,7 @@ def predict_batched(pred: Predictor, x, xstar, hstar, *, batch: int = 65536,
     def one(args):
         xs, hs = args
         return predict_fast(pred, x, xs, hs, include_nugget=include_nugget,
-                            family=family)
+                            family=family, quad_precision=quad_precision)
 
     means, variances = jax.lax.map(one, (xs_c, hs_c))
     return means.reshape(m_pad)[:m], variances.reshape(m_pad)[:m]

@@ -54,6 +54,10 @@ class NoiseFitResult:
     x: np.ndarray
     y: np.ndarray
     y_log_noise: np.ndarray
+    # training inputs of the exported noise GP: the design subset when
+    # design_size/olhcmult sized one, else all of x (predict_noise queries
+    # noise_state against THESE, not x)
+    noise_x: Optional[np.ndarray] = None
 
 
 def _maximin_subset(x: np.ndarray, k: int) -> np.ndarray:
@@ -174,14 +178,20 @@ def noisefit_arrays(
         log_r = new_log_r
 
     # export GP over log NOISE (the in-loop noise GP smooths log TOTAL
-    # variance); predict_noise() queries this one
+    # variance); predict_noise() queries this one. Trained on the same
+    # noise-estimation design as the in-loop GP so design_size/olhcmult
+    # caps EVERY O(k^3) noise-GP cost, not just the in-loop ones
+    # (code-review r4 finding #4).
     key, k3 = jax.random.split(key)
-    noise_params, _ = mle_fit(k3, xj, jnp.asarray(log_r), h, noise_cfg)
-    noise_state = gp.fit(noise_params, xj, jnp.asarray(log_r), h, mode="gp4ml")
+    lr = jnp.asarray(log_r)
+    lr_sub = lr[sub] if sub is not None else lr
+    noise_params, _ = mle_fit(k3, xj_sub, lr_sub, h_sub, noise_cfg)
+    noise_state = gp.fit(noise_params, xj_sub, lr_sub, h_sub, mode="gp4ml")
 
     return NoiseFitResult(
         data_params, data_state, noise_params, noise_state,
         np.exp(log_r), history, x, y, log_r,
+        noise_x=(x[sub] if sub is not None else x),
     )
 
 
@@ -190,9 +200,10 @@ def predict_noise(result: NoiseFitResult, x_new) -> np.ndarray:
     x_new = np.asarray(x_new, dtype=np.float64)
     if x_new.ndim == 1:
         x_new = x_new[:, None]
-    d = result.x.shape[1]
+    x_train = result.noise_x if result.noise_x is not None else result.x
+    d = x_train.shape[1]
     spec = linear_basis(d)
-    xj = jnp.asarray(result.x)
+    xj = jnp.asarray(x_train)
     h = basis_matrix(xj, spec)
     xs = jnp.asarray(x_new)
     hs = basis_matrix(xs, spec)

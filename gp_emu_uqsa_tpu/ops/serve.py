@@ -406,11 +406,9 @@ def corr_quad_pallas(xstar, x, delta, w_tri, *, interpret: bool = False,
                            lambda i, k, j: (jnp.minimum(j, k), 0),
                            memory_space=pltpu.VMEM)
 
-    def w_spec(dtype_bytes):
-        del dtype_bytes
-        return pl.BlockSpec((TILE_QN, TILE_QN),
-                            lambda i, k, j: (k, jnp.minimum(j, k)),
-                            memory_space=pltpu.VMEM)
+    w_spec = pl.BlockSpec((TILE_QN, TILE_QN),
+                          lambda i, k, j: (k, jnp.minimum(j, k)),
+                          memory_space=pltpu.VMEM)
 
     if quad_precision == "high":
         # pre-split W for the spelled-out bf16x3 kernel (barrier on the
@@ -419,12 +417,12 @@ def corr_quad_pallas(xstar, x, delta, w_tri, *, interpret: bool = False,
         w_lo = (w - w_hi.astype(jnp.float32)).astype(jnp.bfloat16)
         kernel = functools.partial(_quad_kernel_bf16x3, j_tiles=j_tiles)
         operands = (op_a, op_b, w_hi, w_lo)
-        in_specs = [pa_spec, pb_spec, w_spec(2), w_spec(2)]
+        in_specs = [pa_spec, pb_spec, w_spec, w_spec]
         gemm_passes = 3
     else:
         kernel = functools.partial(_quad_kernel, j_tiles=j_tiles)
         operands = (op_a, op_b, w)
-        in_specs = [pa_spec, pb_spec, w_spec(4)]
+        in_specs = [pa_spec, pb_spec, w_spec]
         gemm_passes = 6
     out = pl.pallas_call(
         kernel,
@@ -478,7 +476,6 @@ def serve_meanvar_pallas(spred, x, xstar, hstar, *,
     gp.predict_fast (same math, reordered); tolerances: docs/numerics.md.
     """
     delta = jnp.exp(spred.params.log_delta)
-    q = spred.ainv_h.shape[1]
     rhs = jnp.concatenate([spred.e[:, None], spred.ainv_h], axis=1)
     slab = corr_matvec_pallas(xstar, x, delta, rhs, interpret=interpret,
                               rhs_precision=rhs_precision)   # (m, 1+q)

@@ -221,7 +221,10 @@ def measure_hmc(n_chains: int = 64, n: int = 1024, d: int = 8,
     cfg = HMCConfig(n_warmup=n_warmup, n_samples=n_samples,
                     n_leapfrog=n_leapfrog)
     # warmup-only proxy: identical warmup schedule, ONE sampling draw
-    # (n_samples=0 would change the scan structure; 1/n_samples bias is <1%)
+    # (n_samples=0 would change the scan structure); the subtraction then
+    # covers n_samples - 1 draws, and the throughput denominator below
+    # counts exactly those (code-review r4: crediting all n_samples draws
+    # to the short window inflated samples/s by 1/(n_samples-1) ~ 3%)
     cfg_w = HMCConfig(n_warmup=n_warmup, n_samples=1, n_leapfrog=n_leapfrog)
     z0 = jnp.zeros((n_chains, d), jnp.float32)
     run = jax.jit(lambda k: hmc_sample(k, ld, z0, cfg))
@@ -238,7 +241,7 @@ def measure_hmc(n_chains: int = 64, n: int = 1024, d: int = 8,
     secs_warm = time.perf_counter() - t0
     secs_sampling = max(secs_full - secs_warm, 1e-9)
     e = ess(np.asarray(samples))
-    total_post = n_chains * n_samples
+    total_post = n_chains * (n_samples - 1)
     return {
         "device": str(jax.devices()[0]),
         "n_chains": n_chains,

@@ -74,15 +74,26 @@ def test_stage_failure_keeps_payload_parseable():
 
 
 def test_stage_cache_round_trip(tmp_path, monkeypatch):
-    """Round-4 contract: a successful stage persists; a same-backend rerun
-    can recover it after a transient failure (VERDICT r3 next-step #1)."""
+    """Round-4 contract: a successful stage persists under a BACKEND-
+    qualified key (a CPU-fallback run must not clobber the cached TPU
+    result — code-review r4 finding #1), and legacy bare-name entries
+    migrate on load."""
     monkeypatch.setattr(bench, "CACHE_PATH", str(tmp_path / "cache.json"))
     cache = bench._cache_load()
     assert cache == {}
     bench._cache_store(cache, "core", {"predict_points_per_s": 7.0}, tpu=True)
+    # a CPU result for the same stage coexists instead of overwriting
+    bench._cache_store(cache, "core", {"predict_points_per_s": 1.0}, tpu=False)
     c2 = bench._cache_load()
-    assert c2["core"]["result"]["predict_points_per_s"] == 7.0
-    assert c2["core"]["tpu"] is True and "ts" in c2["core"]
+    assert c2["tpu:core"]["result"]["predict_points_per_s"] == 7.0
+    assert c2["cpu:core"]["result"]["predict_points_per_s"] == 1.0
+    assert c2["tpu:core"]["tpu"] is True and "ts" in c2["tpu:core"]
+    # legacy (pre backend-keying) entries migrate by their stored tpu flag
+    import json as _json
+    (tmp_path / "cache.json").write_text(_json.dumps(
+        {"hmc": {"result": {"x": 2}, "tpu": True, "ts": 1}}))
+    c3 = bench._cache_load()
+    assert c3["tpu:hmc"]["result"]["x"] == 2 and "hmc" not in c3
 
 
 def test_cache_load_tolerates_corrupt_file(tmp_path, monkeypatch):
