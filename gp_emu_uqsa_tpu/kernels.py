@@ -146,14 +146,90 @@ def corr(x1: jax.Array, x2: jax.Array, params: GPParams,
     return fn(scaled_sq_dists(x1, x2, params.delta))
 
 
+# ---------------------------------------------------------------------------
+# fused TPU self-build (round 4): the XLA build of A at n=16k costs 13 ms
+# (D2 materialized to HBM, read back for exp, nugget in another pass — 10%
+# of the HBM-bandwidth roof) vs 1.8 ms for the fused Pallas kernel (75% of
+# roof, docs/perf_tpu.md) — and the build is ~15-20% of every NLL
+# evaluation in the MLE/HMC hot loops. The Pallas kernel has no VJP, so a
+# custom_vjp supplies the analytic hyperparameter adjoints (the same
+# rank-1 + GEMM contraction as gp._nll_mucm_bwd); x cotangents are zeros
+# (nothing in the framework differentiates w.r.t. training inputs).
+# ---------------------------------------------------------------------------
+
+_FAST_SELF_MIN_N = 512   # below this the pallas_call overhead ~ the build
+
+
+def _fast_self_ok(x: jax.Array) -> bool:
+    from gp_emu_uqsa_tpu.ops.mxu_packing import packed_width
+
+    try:
+        backend = jax.default_backend()
+    except RuntimeError:
+        return False
+    return (backend == "tpu" and x.ndim == 2 and x.dtype == jnp.float32
+            and x.shape[0] >= _FAST_SELF_MIN_N
+            and packed_width(x.shape[1]) <= 128)
+
+
+def _gaussian_self_grads(x, delta, nugget, a, ct):
+    """Analytic (grad_delta, grad_nugget) of sum(ct * A(x, delta, nugget)).
+
+    dA_ij/d delta_l = A^corr_ij * 2 (x_il - x_jl)^2 / delta_l^3 with
+    A^corr = A - nugget*I; the pairwise contraction collapses to row/col
+    sums plus one GEMM (O(n^2 d), MXU-shaped):
+      sum_ij M_ij (x_il - x_jl)^2 = r@x_l^2 + c@x_l^2 - 2 x_l^T M x_l.
+    Unit-tested against autodiff of the XLA build (tests/test_kernel_
+    families.py) — ct need not be symmetric.
+    """
+    n = x.shape[0]
+    m = ct * (a - nugget * jnp.eye(n, dtype=a.dtype))
+    r = jnp.sum(m, axis=1)
+    c = jnp.sum(m, axis=0)
+    x2 = x * x
+    t1 = r @ x2 + c @ x2                                  # (d,)
+    t2 = jnp.sum(x * (m @ x), axis=0)                     # (d,)
+    grad_delta = (2.0 / delta**3) * (t1 - 2.0 * t2)
+    grad_nugget = jnp.trace(ct)
+    return grad_delta, grad_nugget
+
+
+@jax.custom_vjp
+def _gaussian_self_fast(x, delta, nugget):
+    from gp_emu_uqsa_tpu.ops.kernel_matrix import gaussian_corr_self_pallas
+
+    return gaussian_corr_self_pallas(x, delta, nugget)
+
+
+def _gsf_fwd(x, delta, nugget):
+    a = _gaussian_self_fast(x, delta, nugget)
+    return a, (x, delta, nugget, a)
+
+
+def _gsf_bwd(res, ct):
+    x, delta, nugget, a = res
+    grad_delta, grad_nugget = _gaussian_self_grads(x, delta, nugget, a, ct)
+    return jnp.zeros_like(x), grad_delta, grad_nugget
+
+
+_gaussian_self_fast.defvjp(_gsf_fwd, _gsf_bwd)
+
+
 def corr_self(x: jax.Array, params: GPParams,
               family: str = "gaussian") -> jax.Array:
     """Training correlation matrix A = c(X, X) + nugget*I, symmetrized.
 
     The explicit symmetrization (A + A^T)/2 removes the asymmetric fp32
     rounding of the matmul expansion so downstream Cholesky sees an exactly
-    symmetric operand.
+    symmetric operand. On TPU, gaussian family, fp32, d <= 20, n >= 512
+    the fused Pallas build takes over (7.5x faster at n=16k; its packed
+    bf16x6 distance is sign-symmetric so residual asymmetry is O(eps) —
+    harmless to the lower-triangle-only Cholesky). Its custom VJP returns
+    ZERO x-cotangents: only hyperparameter gradients exist on this path
+    (matching gp._nll_mucm_bwd's convention).
     """
+    if family == "gaussian" and _fast_self_ok(x):
+        return _gaussian_self_fast(x, params.delta, params.nugget)
     a = corr(x, x, params, family)
     a = 0.5 * (a + a.T)
     n = x.shape[0]

@@ -39,11 +39,16 @@ _LANE = 128
 def _kernel_packed(pa_ref, pb_ref, nug_ref, out_ref):
     i = pl.program_id(0)
     j = pl.program_id(1)
-    # ONE bf16 MXU pass -> the whole fp32-accurate D2 tile (see module doc)
+    # ONE bf16 MXU pass -> the whole fp32-accurate D2 tile (see module doc).
+    # precision is pinned to DEFAULT explicitly: a caller's fp32_exact
+    # (default_matmul_precision("highest")) context otherwise leaks into
+    # the kernel body and Mosaic rejects fp32-contract-precision on bf16
+    # operands ("Bad lhs type") — the packing IS the 6-pass algorithm.
     d2 = jax.lax.dot_general(
         pa_ref[:], pb_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
     )
     a = jnp.exp(-jnp.maximum(d2, 0.0))
 

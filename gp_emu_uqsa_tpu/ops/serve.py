@@ -63,11 +63,15 @@ def _kernel_packed(pa_ref, pb_ref, rhs_ref, out_ref, *, prec):
         out_ref[:] = jnp.zeros_like(out_ref)
 
     # ONE bf16 MXU pass -> fp32-accurate D2 tile, norms included
-    # (ops/mxu_packing.py lane-packed bf16x6 layout)
+    # (ops/mxu_packing.py lane-packed bf16x6 layout). DEFAULT pinned
+    # explicitly: see ops/kernel_matrix.py — an enclosing fp32_exact
+    # context otherwise forces fp32 contract precision onto bf16 operands
+    # and Mosaic fails with "Bad lhs type".
     d2 = jax.lax.dot_general(
         pa_ref[:], pb_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
     )
     c = jnp.exp(-jnp.maximum(d2, 0.0))                  # (TM, TN) VMEM only
     _contract(c, rhs_ref[:], out_ref, prec)
@@ -265,11 +269,14 @@ TILE_QN = 512      # factor tile: sets distance-rebuild overhead ~ 128/TQN
 
 
 def _corr_tile(pa_ref, pb_ref):
-    """ONE bf16 MXU pass -> fp32-accurate correlation tile (mxu_packing)."""
+    """ONE bf16 MXU pass -> fp32-accurate correlation tile (mxu_packing).
+
+    DEFAULT precision pinned explicitly (ops/kernel_matrix.py note)."""
     d2 = jax.lax.dot_general(
         pa_ref[:], pb_ref[:],
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
     )
     return jnp.exp(-jnp.maximum(d2, 0.0))
 
@@ -350,6 +357,7 @@ def _quad_kernel_bf16x3(pa_ref, pb_ref, whi_ref, wlo_ref, out_ref, y_ref, *,
             return jax.lax.dot_general(
                 a, b, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
             )
 
         y_ref[:] += (dot(c_hi, whi_ref[:]) + dot(c_hi, wlo_ref[:])

@@ -145,3 +145,44 @@ def test_sensitivity_rejects_non_gaussian():
     emul.train_full()
     with pytest.raises(ValueError, match="gaussian"):
         sensitivity.setup(emul, m=[0.5, 0.5], v=[0.02, 0.02])
+
+
+def test_fast_self_build_analytic_grads_match_autodiff():
+    """The Pallas fast-build custom VJP's analytic (delta, nugget) adjoints
+    must equal autodiff of the XLA build for an arbitrary (asymmetric)
+    cotangent. (The fast path itself is TPU-gated; this pins the math.)"""
+    import jax
+    from gp_emu_uqsa_tpu.kernels import (
+        _gaussian_self_grads, corr_self, make_params,
+    )
+
+    rng = np.random.default_rng(3)
+    n, d = 40, 3
+    x = jnp.asarray(rng.uniform(size=(n, d)))
+    ct = jnp.asarray(rng.standard_normal((n, n)))   # deliberately asymmetric
+    delta0 = np.array([0.6, 1.1, 0.9])
+    nug0 = 1e-3
+
+    def loss(delta, nugget):
+        p = make_params(delta, nugget=nugget, dtype=jnp.float64)
+        return jnp.sum(ct * corr_self(x, p))
+
+    g_delta, g_nug = jax.grad(loss, argnums=(0, 1))(
+        jnp.asarray(delta0), jnp.asarray(nug0))
+    p = make_params(delta0, nugget=nug0, dtype=jnp.float64)
+    a = corr_self(x, p)
+    gd, gn = _gaussian_self_grads(x, jnp.asarray(delta0), jnp.asarray(nug0),
+                                  a, ct)
+    np.testing.assert_allclose(np.asarray(gd), np.asarray(g_delta),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(float(gn), float(g_nug), rtol=1e-9)
+
+
+def test_fast_self_build_gate_off_on_cpu():
+    """The TPU-gated fast build must not engage on CPU (grad paths through
+    the generic families rely on autodiff of the XLA build)."""
+    from gp_emu_uqsa_tpu.kernels import _fast_self_ok
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(size=(600, 4)).astype(np.float32))
+    assert not _fast_self_ok(x)   # CPU backend in tests
