@@ -136,7 +136,14 @@ CORR_FAMILIES = {
 
 def corr(x1: jax.Array, x2: jax.Array, params: GPParams,
          family: str = "gaussian") -> jax.Array:
-    """Cross-correlation matrix c(x1_i, x2_j), no nugget, shape (n1, n2)."""
+    """Cross-correlation matrix c(x1_i, x2_j), no nugget, shape (n1, n2).
+
+    On TPU the gaussian family takes the fused Pallas cross-build above
+    the _FAST_CROSS_MIN_WORK size (same gating family as corr_self; its
+    custom VJP carries the analytic delta adjoint and ZERO x cotangents).
+    """
+    if family == "gaussian" and _fast_cross_ok(x1, x2):
+        return _gaussian_cross_fast(x1, x2, params.delta)
     try:
         fn = CORR_FAMILIES[family]
     except KeyError:
@@ -213,6 +220,58 @@ def _gsf_bwd(res, ct):
 
 
 _gaussian_self_fast.defvjp(_gsf_fwd, _gsf_bwd)
+
+
+# rectangular cross-build fast path: same idea as the self build; gate on
+# total output size (the pallas_call overhead amortizes over m*n)
+_FAST_CROSS_MIN_WORK = 512 * 512
+
+
+def _fast_cross_ok(x1: jax.Array, x2: jax.Array) -> bool:
+    from gp_emu_uqsa_tpu.ops.mxu_packing import packed_width
+
+    try:
+        backend = jax.default_backend()
+    except RuntimeError:
+        return False
+    return (backend == "tpu" and x1.ndim == 2 and x2.ndim == 2
+            and x1.dtype == jnp.float32 and x2.dtype == jnp.float32
+            and x1.shape[0] * x2.shape[0] >= _FAST_CROSS_MIN_WORK
+            and x1.shape[1] == x2.shape[1]
+            and packed_width(x1.shape[1]) <= 128)
+
+
+def _gaussian_cross_grads(x1, x2, delta, c, ct):
+    """Analytic grad_delta of sum(ct * c(x1, x2, delta)) — cross version of
+    `_gaussian_self_grads` (M = ct * c; row sums pair with x1, col sums
+    with x2)."""
+    m = ct * c
+    r = jnp.sum(m, axis=1)                                # (n1,)
+    col = jnp.sum(m, axis=0)                              # (n2,)
+    t1 = r @ (x1 * x1) + col @ (x2 * x2)                  # (d,)
+    t2 = jnp.sum(x1 * (m @ x2), axis=0)                   # (d,)
+    return (2.0 / delta**3) * (t1 - 2.0 * t2)
+
+
+@jax.custom_vjp
+def _gaussian_cross_fast(x1, x2, delta):
+    from gp_emu_uqsa_tpu.ops.kernel_matrix import gaussian_corr_pallas
+
+    return gaussian_corr_pallas(x1, x2, delta)
+
+
+def _gcf_fwd(x1, x2, delta):
+    c = _gaussian_cross_fast(x1, x2, delta)
+    return c, (x1, x2, delta, c)
+
+
+def _gcf_bwd(res, ct):
+    x1, x2, delta, c = res
+    grad_delta = _gaussian_cross_grads(x1, x2, delta, c, ct)
+    return jnp.zeros_like(x1), jnp.zeros_like(x2), grad_delta
+
+
+_gaussian_cross_fast.defvjp(_gcf_fwd, _gcf_bwd)
 
 
 def corr_self(x: jax.Array, params: GPParams,

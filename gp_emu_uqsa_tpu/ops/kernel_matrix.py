@@ -94,6 +94,85 @@ def _kernel_fp32(xs_i_ref, xs_j_ref, nug_ref, out_ref):
         out_ref[:] = a
 
 
+def _cross_kernel_packed(pa_ref, pb_ref, out_ref):
+    # DEFAULT pinned: see _kernel_packed note (fp32_exact context leak)
+    d2 = jax.lax.dot_general(
+        pa_ref[:], pb_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
+    )
+    out_ref[:] = jnp.exp(-jnp.maximum(d2, 0.0))
+
+
+def _cross_kernel_fp32(xa_ref, xb_ref, out_ref):
+    xi = xa_ref[:]
+    xj = xb_ref[:]
+    ni = jnp.sum(xi * xi, axis=1, keepdims=True)
+    nj = jnp.sum(xj * xj, axis=1, keepdims=True).T
+    cross = jax.lax.dot_general(
+        xi, xj,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    out_ref[:] = jnp.exp(-jnp.maximum(ni + nj - 2.0 * cross, 0.0))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def gaussian_corr_pallas(x1, x2, delta, *, interpret: bool = False):
+    """Rectangular cross-correlation c(x1, x2) = exp(-D2), fused one-pass.
+
+    The cross analog of `gaussian_corr_self_pallas` (no nugget, no
+    symmetry): each (TILE, TILE) tile is built in VMEM and written once.
+    Padded rows/cols produce garbage correlations against the ZERO-padded
+    packed operands (see ops/serve.py padding note) and are sliced off.
+    """
+    x1 = jnp.asarray(x1, jnp.float32)
+    x2 = jnp.asarray(x2, jnp.float32)
+    m, d = x1.shape
+    n = x2.shape[0]
+    inv_delta = 1.0 / jnp.asarray(delta, jnp.float32)
+    m_pad = ((m + TILE - 1) // TILE) * TILE
+    n_pad = ((n + TILE - 1) // TILE) * TILE
+    packed = packed_width(d) <= _LANE
+    if packed:
+        op_a = pad_lanes(pack_dist_a(
+            jnp.pad(x1 * inv_delta, ((0, m_pad - m), (0, 0)))))
+        op_b = pad_lanes(pack_dist_b(
+            jnp.pad(x2 * inv_delta, ((0, n_pad - n), (0, 0)))))
+        kernel = _cross_kernel_packed
+        in_width = _LANE
+        dist_flops = 2 * m_pad * n_pad * _LANE
+    else:
+        d_pad = ((d + _LANE - 1) // _LANE) * _LANE
+        op_a = jnp.pad(x1 * inv_delta, ((0, m_pad - m), (0, d_pad - d)))
+        op_b = jnp.pad(x2 * inv_delta, ((0, n_pad - n), (0, d_pad - d)))
+        kernel = _cross_kernel_fp32
+        in_width = d_pad
+        dist_flops = 6 * 2 * m_pad * n_pad * d_pad
+    out = pl.pallas_call(
+        kernel,
+        grid=(m_pad // TILE, n_pad // TILE),
+        in_specs=[
+            pl.BlockSpec((TILE, in_width), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, in_width), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TILE, TILE), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m_pad, n_pad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=dist_flops + 2 * m_pad * n_pad,
+            bytes_accessed=m_pad * n_pad * 4 + (m_pad + n_pad) * in_width * 4,
+            transcendentals=m_pad * n_pad,
+        ),
+        interpret=interpret,
+    )(op_a, op_b)
+    return out[:m, :n]
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def gaussian_corr_self_pallas(x, delta, nugget, *, interpret: bool = False):
     """A = exp(-sum_l ((x_i-x_j)/delta)^2) + nugget*I via one fused pass.

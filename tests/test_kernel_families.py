@@ -186,3 +186,54 @@ def test_fast_self_build_gate_off_on_cpu():
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.uniform(size=(600, 4)).astype(np.float32))
     assert not _fast_self_ok(x)   # CPU backend in tests
+
+
+def test_fast_cross_build_analytic_grads_match_autodiff():
+    """Cross-build custom VJP delta adjoint == autodiff of the XLA build."""
+    import jax
+    from gp_emu_uqsa_tpu.kernels import (
+        _gaussian_cross_grads, gaussian_corr, make_params,
+    )
+
+    rng = np.random.default_rng(5)
+    x1 = jnp.asarray(rng.uniform(size=(30, 3)))
+    x2 = jnp.asarray(rng.uniform(size=(45, 3)))
+    ct = jnp.asarray(rng.standard_normal((30, 45)))
+    delta0 = np.array([0.7, 1.2, 0.5])
+
+    def loss(delta):
+        p = make_params(delta, dtype=jnp.float64)
+        return jnp.sum(ct * gaussian_corr(x1, x2, p))
+
+    g = jax.grad(loss)(jnp.asarray(delta0))
+    p = make_params(delta0, dtype=jnp.float64)
+    c = gaussian_corr(x1, x2, p)
+    gd = _gaussian_cross_grads(x1, x2, jnp.asarray(delta0), c, ct)
+    np.testing.assert_allclose(np.asarray(gd), np.asarray(g),
+                               rtol=1e-9, atol=1e-12)
+
+
+def test_gaussian_corr_pallas_matches_xla():
+    from gp_emu_uqsa_tpu.ops.kernel_matrix import gaussian_corr_pallas
+    from gp_emu_uqsa_tpu.kernels import gaussian_corr, make_params
+
+    rng = np.random.default_rng(6)
+    m, n, d = 300, 513, 5                # not tile aligned
+    x1 = rng.uniform(size=(m, d)).astype(np.float32)
+    x2 = rng.uniform(size=(n, d)).astype(np.float32)
+    delta = np.array([0.5, 0.8, 1.2, 0.3, 2.0], np.float32)
+    got = gaussian_corr_pallas(x1, x2, delta, interpret=True)
+    p = make_params(delta, dtype=jnp.float32)
+    want = gaussian_corr(jnp.asarray(x1), jnp.asarray(x2), p)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-6)
+    # d > 20 falls back to the in-kernel fp32 HIGHEST path
+    d2 = 25
+    x1b = rng.uniform(size=(40, d2)).astype(np.float32)
+    x2b = rng.uniform(size=(50, d2)).astype(np.float32)
+    db = np.full(d2, 0.9, np.float32)
+    got2 = gaussian_corr_pallas(x1b, x2b, db, interpret=True)
+    want2 = gaussian_corr(jnp.asarray(x1b), jnp.asarray(x2b),
+                          make_params(db, dtype=jnp.float32))
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
+                               rtol=2e-5, atol=2e-6)
