@@ -60,18 +60,28 @@ def predict_sharded(
     shard = NamedSharding(mesh, P(axis))
     repl = NamedSharding(mesh, P())
 
-    @partial(
-        jax.jit,
-        out_shardings=(shard, shard),
-        static_argnames=("include_nugget",),
+    # shard_map (manual partitioning), not GSPMD out_shardings: the body
+    # runs on LOCAL per-shard shapes, so each chip builds only its
+    # (m/p, n) cross-correlation block. This is load-bearing for the
+    # TPU fast-build path (kernels.corr -> Pallas): GSPMD cannot
+    # partition an opaque custom call, so under jit-with-out-shardings
+    # every chip would materialize the FULL (m, n) block — 64 GB at the
+    # BASELINE config-5 shape. Inside shard_map the pallas_call sees the
+    # local shard, the supported pattern.
+    local = partial(gp.predict, include_nugget=include_nugget)
+    _run = jax.jit(
+        jax.shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(), P(), P(), P(axis), P(axis)),
+            out_specs=(P(axis), P(axis)),
+            check_vma=False,
+        )
     )
-    def _run(state, x, h, xs, hs, include_nugget=False):
-        return gp.predict(state, x, h, xs, hs, include_nugget=include_nugget)
-
     xs_p = jax.device_put(xs_p, shard)
     hs_p = jax.device_put(hs_p, shard)
     state = jax.device_put(state, repl)
     x = jax.device_put(jnp.asarray(x), repl)
     h = jax.device_put(jnp.asarray(h), repl)
-    mean, var = _run(state, x, h, xs_p, hs_p, include_nugget=include_nugget)
+    mean, var = _run(state, x, h, xs_p, hs_p)
     return mean[:n_orig], var[:n_orig]
