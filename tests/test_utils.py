@@ -60,6 +60,39 @@ def test_hmc_state_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
+def test_hmc_preemption_resume_stays_on_target(tmp_path):
+    """SURVEY S6 'coarse resume across preemption': a chain checkpointed
+    mid-run and resumed from the saved (position, step size, mass) keeps
+    sampling the same posterior — the resumed draws' moments must agree
+    with an uninterrupted run's on a known Gaussian target."""
+    import jax.numpy as jnp
+    from gp_emu_uqsa_tpu.inference.hmc import HMCConfig, hmc_sample
+
+    sd = jnp.asarray([1.0, 0.5, 2.0])
+
+    def logdensity(z):
+        return -0.5 * jnp.sum((z / sd) ** 2)
+
+    n_chains, d = 8, 3
+    z0 = jnp.zeros((n_chains, d))
+    cfg = HMCConfig(n_warmup=200, n_samples=200, n_leapfrog=8)
+    samples, stats = hmc_sample(jax.random.key(0), logdensity, z0, cfg)
+    # "preemption": persist the end-of-run state
+    save_hmc_state(tmp_path / "hmc", samples[:, -1], stats["step_size"],
+                   stats["inv_mass"], jax.random.key(7))
+    z_res, eps, im, key, _ = load_hmc_state(tmp_path / "hmc")
+    # resume: short re-adaptation around the RESTORED step size, then draw
+    cfg_res = HMCConfig(n_warmup=20, n_samples=200, n_leapfrog=8,
+                        init_step_size=float(eps))
+    res_samples, res_stats = hmc_sample(key, logdensity, jnp.asarray(z_res),
+                                        cfg_res)
+    assert float(res_stats["accept_rate"]) > 0.5
+    flat = np.asarray(res_samples).reshape(-1, d)
+    # stationarity: per-dim sd within 15% of the target's (1600 draws)
+    np.testing.assert_allclose(flat.std(axis=0), np.asarray(sd), rtol=0.15)
+    np.testing.assert_allclose(flat.mean(axis=0), 0.0, atol=0.25)
+
+
 def test_structured_logging(tmp_path):
     log = tmp_path / "events.jsonl"
     set_log_path(log)
