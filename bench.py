@@ -513,6 +513,23 @@ def _scaling_summary() -> dict | None:
             "physical_cores": sj.get("physical_cores")}
 
 
+def _last_tpu_summary() -> dict | None:
+    """Headline numbers from the last-good TPU stage results in the cache.
+
+    Shown (clearly labelled, with timestamps) when the current run fell
+    back to CPU: backend purity keeps cached TPU stages out of the live
+    fields, but a dead relay at the one moment the driver runs must not
+    erase the round's hardware evidence entirely.
+    """
+    cache = _cache_load()
+    out = {}
+    for name in STAGE_TIMEOUT_S:
+        entry = cache.get(_cache_key(name, True))
+        if entry:
+            out[name] = {"result": entry["result"], "ts": entry.get("ts")}
+    return out or None
+
+
 def _payload(results: dict, *, fit_np, pps_np, waited, cpu,
              failed, skipped, cached=(), errors=None) -> dict:
     """Assemble the cumulative artifact from whatever stages completed."""
@@ -567,6 +584,7 @@ def _payload(results: dict, *, fit_np, pps_np, waited, cpu,
         "device": core.get("device") or roof.get("device")
         or hmc.get("device") or "unknown",
         "virtual_scaling": _scaling_summary(),
+        "last_tpu_results": _last_tpu_summary() if cpu else None,
         "relay_waited_s": round(waited, 1),
         "tpu": not cpu,
         "stages_failed": failed,
