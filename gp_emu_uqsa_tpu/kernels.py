@@ -138,9 +138,12 @@ def corr(x1: jax.Array, x2: jax.Array, params: GPParams,
          family: str = "gaussian") -> jax.Array:
     """Cross-correlation matrix c(x1_i, x2_j), no nugget, shape (n1, n2).
 
-    On TPU the gaussian family takes the fused Pallas cross-build above
-    the _FAST_CROSS_MIN_WORK size (same gating family as corr_self; its
-    custom VJP carries the analytic delta adjoint and ZERO x cotangents).
+    On TPU the gaussian family takes the fused Pallas cross-build when
+    both operands span >= _FAST_CROSS_MIN_ROWS rows (same gating family
+    as corr_self); its custom VJP carries the FULL analytic adjoints
+    (delta AND both input slots — fp32-pinned contractions). Forward-mode
+    AD through the fast path is unsupported (custom_vjp); disable via
+    GP_EMU_DISABLE_PALLAS_BUILD=1 if jvp/jacfwd through corr is needed.
     """
     if family == "gaussian" and _fast_cross_ok(x1, x2):
         return _gaussian_cross_fast(x1, x2, params.delta)
@@ -166,39 +169,80 @@ def corr(x1: jax.Array, x2: jax.Array, params: GPParams,
 
 _FAST_SELF_MIN_N = 512   # below this the pallas_call overhead ~ the build
 
+# Escape hatch: export GP_EMU_DISABLE_PALLAS_BUILD=1 to force the XLA
+# build path everywhere. The gate below consults jax.default_backend(),
+# which is the PROCESS default — a computation explicitly pinned to CPU
+# inside a TPU-default process (jax.default_device / CPU shardings) would
+# still stage the Mosaic kernel and fail to lower; the env var is the
+# out for that unusual configuration (code-review r4b finding #3).
+import os as _os
+
+
+def _pallas_build_enabled() -> bool:
+    if _os.environ.get("GP_EMU_DISABLE_PALLAS_BUILD"):
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except RuntimeError:
+        return False
+
 
 def _fast_self_ok(x: jax.Array) -> bool:
     from gp_emu_uqsa_tpu.ops.mxu_packing import packed_width
 
-    try:
-        backend = jax.default_backend()
-    except RuntimeError:
-        return False
-    return (backend == "tpu" and x.ndim == 2 and x.dtype == jnp.float32
+    return (_pallas_build_enabled() and x.ndim == 2
+            and x.dtype == jnp.float32
             and x.shape[0] >= _FAST_SELF_MIN_N
             and packed_width(x.shape[1]) <= 128)
 
 
-def _gaussian_self_grads(x, delta, nugget, a, ct):
-    """Analytic (grad_delta, grad_nugget) of sum(ct * A(x, delta, nugget)).
+from gp_emu_uqsa_tpu.ops.precision import fp32_exact as _fp32_exact
 
-    dA_ij/d delta_l = A^corr_ij * 2 (x_il - x_jl)^2 / delta_l^3 with
-    A^corr = A - nugget*I; the pairwise contraction collapses to row/col
-    sums plus one GEMM (O(n^2 d), MXU-shaped):
-      sum_ij M_ij (x_il - x_jl)^2 = r@x_l^2 + c@x_l^2 - 2 x_l^T M x_l.
-    Unit-tested against autodiff of the XLA build (tests/test_kernel_
-    families.py) — ct need not be symmetric.
+
+@_fp32_exact
+def _gaussian_cross_grads(x1, x2, delta, c, ct):
+    """Analytic cotangents of sum(ct * c(x1, x2, delta)).
+
+    With M = ct * c (ct need not be symmetric):
+      d c_ij / d delta_l  = c_ij * 2 (x1_il - x2_jl)^2 / delta_l^3
+      d c_ij / d x1_il    = c_ij * (-2)(x1_il - x2_jl) / delta_l^2
+      d c_ij / d x2_jl    = c_ij * (+2)(x1_il - x2_jl) / delta_l^2
+    All three collapse to row/col sums plus GEMMs (O(n^2 d), MXU-shaped);
+    fp32_exact pins the contractions — a custom_vjp bwd traces OUTSIDE
+    any caller's precision context, and the t1 - 2 t2 cancellation at
+    single-pass bf16 would put ~1e-3 relative error on the gradients
+    (code-review r4b finding #1). Unit-tested against autodiff of the
+    XLA build (tests/test_kernel_families.py).
+
+    Returns (grad_x1, grad_x2, grad_delta).
+    """
+    m = ct * c
+    r = jnp.sum(m, axis=1)                                # (n1,)
+    col = jnp.sum(m, axis=0)                              # (n2,)
+    x1_sq = x1 * x1
+    x2_sq = x2 * x2
+    mx2 = m @ x2                                          # (n1, d)
+    t1 = r @ x1_sq + col @ x2_sq                          # (d,)
+    t2 = jnp.sum(x1 * mx2, axis=0)                        # (d,)
+    grad_delta = (2.0 / delta**3) * (t1 - 2.0 * t2)
+    inv_d2 = 1.0 / (delta * delta)
+    grad_x1 = (-2.0 * inv_d2) * (x1 * r[:, None] - mx2)
+    grad_x2 = (-2.0 * inv_d2) * (x2 * col[:, None] - m.T @ x1)
+    return grad_x1, grad_x2, grad_delta
+
+
+@_fp32_exact
+def _gaussian_self_grads(x, delta, nugget, a, ct):
+    """Analytic (grad_x, grad_delta, grad_nugget) for the SELF build.
+
+    The cross formula applied at x1 = x2 = x with both input-slot
+    cotangents summed, plus the nugget diagonal: A = c(x, x) + nugget*I.
     """
     n = x.shape[0]
-    m = ct * (a - nugget * jnp.eye(n, dtype=a.dtype))
-    r = jnp.sum(m, axis=1)
-    c = jnp.sum(m, axis=0)
-    x2 = x * x
-    t1 = r @ x2 + c @ x2                                  # (d,)
-    t2 = jnp.sum(x * (m @ x), axis=0)                     # (d,)
-    grad_delta = (2.0 / delta**3) * (t1 - 2.0 * t2)
+    a_corr = a - nugget * jnp.eye(n, dtype=a.dtype)
+    gx1, gx2, grad_delta = _gaussian_cross_grads(x, x, delta, a_corr, ct)
     grad_nugget = jnp.trace(ct)
-    return grad_delta, grad_nugget
+    return gx1 + gx2, grad_delta, grad_nugget
 
 
 @jax.custom_vjp
@@ -215,42 +259,31 @@ def _gsf_fwd(x, delta, nugget):
 
 def _gsf_bwd(res, ct):
     x, delta, nugget, a = res
-    grad_delta, grad_nugget = _gaussian_self_grads(x, delta, nugget, a, ct)
-    return jnp.zeros_like(x), grad_delta, grad_nugget
+    grad_x, grad_delta, grad_nugget = _gaussian_self_grads(
+        x, delta, nugget, a, ct)
+    return grad_x, grad_delta, grad_nugget
 
 
 _gaussian_self_fast.defvjp(_gsf_fwd, _gsf_bwd)
 
 
-# rectangular cross-build fast path: same idea as the self build; gate on
-# total output size (the pallas_call overhead amortizes over m*n)
-_FAST_CROSS_MIN_WORK = 512 * 512
+# rectangular cross-build fast path: same idea as the self build. Gate on
+# BOTH dims (not just the product): gaussian_corr_pallas pads each dim to
+# the 256 tile, so a skinny query block (m = 8 against n = 40k) would pay
+# up to 32x padding waste — exactly the shape the gate must protect
+# (code-review r4b finding #4).
+_FAST_CROSS_MIN_ROWS = 256
 
 
 def _fast_cross_ok(x1: jax.Array, x2: jax.Array) -> bool:
     from gp_emu_uqsa_tpu.ops.mxu_packing import packed_width
 
-    try:
-        backend = jax.default_backend()
-    except RuntimeError:
-        return False
-    return (backend == "tpu" and x1.ndim == 2 and x2.ndim == 2
+    return (_pallas_build_enabled() and x1.ndim == 2 and x2.ndim == 2
             and x1.dtype == jnp.float32 and x2.dtype == jnp.float32
-            and x1.shape[0] * x2.shape[0] >= _FAST_CROSS_MIN_WORK
+            and x1.shape[0] >= _FAST_CROSS_MIN_ROWS
+            and x2.shape[0] >= _FAST_CROSS_MIN_ROWS
             and x1.shape[1] == x2.shape[1]
             and packed_width(x1.shape[1]) <= 128)
-
-
-def _gaussian_cross_grads(x1, x2, delta, c, ct):
-    """Analytic grad_delta of sum(ct * c(x1, x2, delta)) — cross version of
-    `_gaussian_self_grads` (M = ct * c; row sums pair with x1, col sums
-    with x2)."""
-    m = ct * c
-    r = jnp.sum(m, axis=1)                                # (n1,)
-    col = jnp.sum(m, axis=0)                              # (n2,)
-    t1 = r @ (x1 * x1) + col @ (x2 * x2)                  # (d,)
-    t2 = jnp.sum(x1 * (m @ x2), axis=0)                   # (d,)
-    return (2.0 / delta**3) * (t1 - 2.0 * t2)
 
 
 @jax.custom_vjp
@@ -267,8 +300,7 @@ def _gcf_fwd(x1, x2, delta):
 
 def _gcf_bwd(res, ct):
     x1, x2, delta, c = res
-    grad_delta = _gaussian_cross_grads(x1, x2, delta, c, ct)
-    return jnp.zeros_like(x1), jnp.zeros_like(x2), grad_delta
+    return _gaussian_cross_grads(x1, x2, delta, c, ct)
 
 
 _gaussian_cross_fast.defvjp(_gcf_fwd, _gcf_bwd)
@@ -283,9 +315,10 @@ def corr_self(x: jax.Array, params: GPParams,
     symmetric operand. On TPU, gaussian family, fp32, d <= 20, n >= 512
     the fused Pallas build takes over (7.5x faster at n=16k; its packed
     bf16x6 distance is sign-symmetric so residual asymmetry is O(eps) —
-    harmless to the lower-triangle-only Cholesky). Its custom VJP returns
-    ZERO x-cotangents: only hyperparameter gradients exist on this path
-    (matching gp._nll_mucm_bwd's convention).
+    harmless to the lower-triangle-only Cholesky). Its custom VJP carries
+    full analytic adjoints (x, delta, nugget), fp32-pinned; forward-mode
+    AD is unsupported on the fast path (GP_EMU_DISABLE_PALLAS_BUILD=1 to
+    force the autodiff-through-XLA path).
     """
     if family == "gaussian" and _fast_self_ok(x):
         return _gaussian_self_fast(x, params.delta, params.nugget)

@@ -132,6 +132,11 @@ def gaussian_corr_pallas(x1, x2, delta, *, interpret: bool = False):
     x2 = jnp.asarray(x2, jnp.float32)
     m, d = x1.shape
     n = x2.shape[0]
+    if x2.shape[1] != d:
+        # the packed operands would zero-pad DIFFERENT widths to 128 and
+        # the lane dot would "succeed" with garbage — fail loudly instead
+        raise ValueError(
+            f"feature dims differ: x1 has {d}, x2 has {x2.shape[1]}")
     inv_delta = 1.0 / jnp.asarray(delta, jnp.float32)
     m_pad = ((m + TILE - 1) // TILE) * TILE
     n_pad = ((n + TILE - 1) // TILE) * TILE

@@ -148,9 +148,10 @@ def test_sensitivity_rejects_non_gaussian():
 
 
 def test_fast_self_build_analytic_grads_match_autodiff():
-    """The Pallas fast-build custom VJP's analytic (delta, nugget) adjoints
-    must equal autodiff of the XLA build for an arbitrary (asymmetric)
-    cotangent. (The fast path itself is TPU-gated; this pins the math.)"""
+    """The Pallas fast-build custom VJP's analytic (x, delta, nugget)
+    adjoints must equal autodiff of the XLA build for an arbitrary
+    (asymmetric) cotangent. (The fast path is TPU-gated; this pins the
+    math, including the input-slot cotangents — code-review r4b #2.)"""
     import jax
     from gp_emu_uqsa_tpu.kernels import (
         _gaussian_self_grads, corr_self, make_params,
@@ -163,16 +164,18 @@ def test_fast_self_build_analytic_grads_match_autodiff():
     delta0 = np.array([0.6, 1.1, 0.9])
     nug0 = 1e-3
 
-    def loss(delta, nugget):
+    def loss(x_, delta, nugget):
         p = make_params(delta, nugget=nugget, dtype=jnp.float64)
-        return jnp.sum(ct * corr_self(x, p))
+        return jnp.sum(ct * corr_self(x_, p))
 
-    g_delta, g_nug = jax.grad(loss, argnums=(0, 1))(
-        jnp.asarray(delta0), jnp.asarray(nug0))
+    g_x, g_delta, g_nug = jax.grad(loss, argnums=(0, 1, 2))(
+        x, jnp.asarray(delta0), jnp.asarray(nug0))
     p = make_params(delta0, nugget=nug0, dtype=jnp.float64)
     a = corr_self(x, p)
-    gd, gn = _gaussian_self_grads(x, jnp.asarray(delta0), jnp.asarray(nug0),
-                                  a, ct)
+    gx, gd, gn = _gaussian_self_grads(x, jnp.asarray(delta0),
+                                      jnp.asarray(nug0), a, ct)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(g_x),
+                               rtol=1e-9, atol=1e-12)
     np.testing.assert_allclose(np.asarray(gd), np.asarray(g_delta),
                                rtol=1e-9, atol=1e-12)
     np.testing.assert_allclose(float(gn), float(g_nug), rtol=1e-9)
@@ -189,7 +192,8 @@ def test_fast_self_build_gate_off_on_cpu():
 
 
 def test_fast_cross_build_analytic_grads_match_autodiff():
-    """Cross-build custom VJP delta adjoint == autodiff of the XLA build."""
+    """Cross-build custom VJP adjoints (BOTH input slots + delta) ==
+    autodiff of the XLA build."""
     import jax
     from gp_emu_uqsa_tpu.kernels import (
         _gaussian_cross_grads, gaussian_corr, make_params,
@@ -201,15 +205,20 @@ def test_fast_cross_build_analytic_grads_match_autodiff():
     ct = jnp.asarray(rng.standard_normal((30, 45)))
     delta0 = np.array([0.7, 1.2, 0.5])
 
-    def loss(delta):
+    def loss(x1_, x2_, delta):
         p = make_params(delta, dtype=jnp.float64)
-        return jnp.sum(ct * gaussian_corr(x1, x2, p))
+        return jnp.sum(ct * gaussian_corr(x1_, x2_, p))
 
-    g = jax.grad(loss)(jnp.asarray(delta0))
+    g1, g2, gd_ref = jax.grad(loss, argnums=(0, 1, 2))(
+        x1, x2, jnp.asarray(delta0))
     p = make_params(delta0, dtype=jnp.float64)
     c = gaussian_corr(x1, x2, p)
-    gd = _gaussian_cross_grads(x1, x2, jnp.asarray(delta0), c, ct)
-    np.testing.assert_allclose(np.asarray(gd), np.asarray(g),
+    gx1, gx2, gd = _gaussian_cross_grads(x1, x2, jnp.asarray(delta0), c, ct)
+    np.testing.assert_allclose(np.asarray(gx1), np.asarray(g1),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(gx2), np.asarray(g2),
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(gd), np.asarray(gd_ref),
                                rtol=1e-9, atol=1e-12)
 
 

@@ -62,9 +62,12 @@ def test_hmc_state_roundtrip(tmp_path):
 
 def test_hmc_preemption_resume_stays_on_target(tmp_path):
     """SURVEY S6 'coarse resume across preemption': a chain checkpointed
-    mid-run and resumed from the saved (position, step size, mass) keeps
+    mid-run and resumed from the saved (position, step size) keeps
     sampling the same posterior — the resumed draws' moments must agree
-    with an uninterrupted run's on a known Gaussian target."""
+    with an uninterrupted run's on a known Gaussian target. (The saved
+    inverse mass round-trips through the checkpoint but hmc_sample has no
+    injection point for it yet — the short resume warmup re-adapts the
+    metric; COARSE resume by design, SURVEY S6.)"""
     import jax.numpy as jnp
     from gp_emu_uqsa_tpu.inference.hmc import HMCConfig, hmc_sample
 
@@ -81,6 +84,9 @@ def test_hmc_preemption_resume_stays_on_target(tmp_path):
     save_hmc_state(tmp_path / "hmc", samples[:, -1], stats["step_size"],
                    stats["inv_mass"], jax.random.key(7))
     z_res, eps, im, key, _ = load_hmc_state(tmp_path / "hmc")
+    # the adapted metric survives the round-trip intact (even though the
+    # resume below re-adapts it — see docstring)
+    np.testing.assert_allclose(np.asarray(im), np.asarray(stats["inv_mass"]))
     # resume: short re-adaptation around the RESTORED step size, then draw
     cfg_res = HMCConfig(n_warmup=20, n_samples=200, n_leapfrog=8,
                         init_step_size=float(eps))
