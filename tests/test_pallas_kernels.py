@@ -222,6 +222,28 @@ def test_serve_meanvar_pallas_matches_predict_fast():
                                rtol=2e-3, atol=1e-5 * scale)
 
 
+def test_corr_matvec_multi_output_slab():
+    """The RHS slab serves up to 128 outputs in ONE fused pass (module
+    docstring of ops/serve.py): for emulators sharing a kernel, packing
+    the per-output weight vectors e_k as slab columns yields every
+    output's mean contraction from a single kernel invocation."""
+    from gp_emu_uqsa_tpu.kernels import gaussian_corr, make_params
+    from gp_emu_uqsa_tpu.ops.serve import corr_matvec_pallas
+
+    rng = np.random.default_rng(21)
+    n, d, m, k = 150, 4, 90, 12           # 12 outputs, one pass
+    x = rng.uniform(size=(n, d)).astype(np.float32)
+    xs = rng.uniform(size=(m, d)).astype(np.float32)
+    delta = np.array([0.6, 0.9, 1.2, 0.8], np.float32)
+    e_slab = rng.standard_normal((n, k)).astype(np.float32)
+    got = corr_matvec_pallas(xs, x, delta, e_slab, interpret=True)
+    p = make_params(delta, nugget=0.0, dtype=jnp.float32)
+    c = gaussian_corr(jnp.asarray(xs), jnp.asarray(x), p)
+    want = np.asarray(c @ jnp.asarray(e_slab))
+    assert got.shape == (m, k)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=3e-5, atol=3e-5)
+
+
 def test_blocked_cholesky_matches_lapack():
     import jax.numpy as jnp
     from gp_emu_uqsa_tpu.ops.cholesky import cholesky_blocked_padded
