@@ -69,7 +69,7 @@ N_PRED_NUMPY = 256
 STAGE_TIMEOUT_S = {
     "core": 600.0,
     "roofline": 600.0,
-    "hmc": 420.0,
+    "hmc": 600.0,   # covers HMC + the chunked NUTS measurement
     "fit16k": 900.0,
 }
 
@@ -338,7 +338,7 @@ def stage_roofline():
 
 def stage_hmc():
     _child_jax()
-    from gp_emu_uqsa_tpu.utils.roofline import measure_hmc
+    from gp_emu_uqsa_tpu.utils.roofline import measure_hmc, measure_nuts
 
     # realistic posterior on TPU: n=1024, d=8, post-warmup samples/s +
     # min-ESS/s (VERDICT r3 next-step #6). The 2-core CPU fallback cannot
@@ -347,8 +347,23 @@ def stage_hmc():
     if os.environ.get("BENCH_FORCE_CPU"):
         out = measure_hmc(n=256, d=4, n_samples=64, n_warmup=64)
         out["cpu_reduced"] = True
+        try:
+            nuts = measure_nuts(n_chains=16, n=256, d=4, n_warmup=32,
+                                segment_draws=16, n_segments=4)
+            out["nuts"] = nuts
+        except Exception:
+            pass
         return out
-    return measure_hmc()
+    out = measure_hmc()
+    # NUTS on the SAME posterior (VERDICT r4 next-step #5): the measured
+    # default sampler (docs/samplers.md, ~6x HMC's min-ESS/s) must be in
+    # the artifact, via the chunked-dispatch pattern that respects the
+    # relay's ~20 s single-execution ceiling.
+    try:
+        out["nuts"] = measure_nuts()
+    except Exception as exc:
+        out["nuts_error"] = repr(exc)[:200]
+    return out
 
 
 def stage_fit16k():
@@ -379,16 +394,32 @@ def stage_fit16k():
     pred = jax.jit(gp.predictor)(state)
     float(pred.sigma2)
 
-    # 1M-point batched mean+var prediction (BASELINE config 5): lax.map
-    # chunks bound the cross-correlation block to (batch, n) = 256 MB
+    # 1M-point batched mean+var prediction (BASELINE config 5). Since
+    # round 5 this measures the FACADE path — Emulator.predict — which
+    # auto-dispatches to the fused Pallas mean+variance serving tier on
+    # TPU (VERDICT r4 next-step #1: the headline number must be what a
+    # user of the API gets, and the facade used to serve 3.5x below the
+    # engine's measured capability through the XLA GEMM tier).
     xs = jnp.asarray(rng.uniform(size=(m, DIM)).astype(np.float32), dtype)
     hs = basis_matrix(xs, spec)
+    from gp_emu_uqsa_tpu.emulator import Emulator
+
+    emul = Emulator.from_arrays(
+        x_np, y_np, tv_config=(10, 0, 0), shuffle=False, scale_inputs=False,
+        dtype=dtype)
+    emul.params = params
+    emul.state = state
+    out = emul.predict(xs)
+    float(out[1][-1])
+    pred_s = _timed(lambda: emul.predict(xs),
+                    lambda o: float(o[1][-1]), reps=2)
+    # the previous headline (XLA GEMM tier) kept for the cross-round series
     pb = jax.jit(lambda pr, x, xs, hs: gp.predict_batched(
         pr, x, xs, hs, batch=4096))
     out = pb(pred, x, xs, hs)
     float(out[1][-1])
-    pred_s = _timed(lambda: pb(pred, x, xs, hs),
-                    lambda o: float(o[1][-1]), reps=2)
+    pred_xla_s = _timed(lambda: pb(pred, x, xs, hs),
+                        lambda o: float(o[1][-1]), reps=2)
 
     # full-1M mean-only serving through the fused Pallas kernel (VERDICT r2
     # next-step #8): lax.map chunking keeps the (batch, 128) lane-padded
@@ -430,6 +461,7 @@ def stage_fit16k():
         "fit_seconds_n16384": round(fit_s, 4),
         "predict_1m_points_per_s": round(m / pred_s, 1),
         "predict_1m_seconds": round(pred_s, 3),
+        "predict_1m_points_per_s_xla_tier": round(m / pred_xla_s, 1),
         "serve_pallas_1m_points_per_s_n16384": round(serve_pps, 1),
         "serve_meanvar_1m_points_per_s_n16384": round(meanvar_pps, 1),
         "device": str(jax.devices()[0]),
@@ -579,6 +611,9 @@ def _payload(results: dict, *, fit_np, pps_np, waited, cpu,
             "samples_per_s_per_chip"),
         "hmc_min_ess_per_s": hmc.get("min_ess_per_s"),
         "hmc_n_train": hmc.get("n_train"),
+        "nuts_samples_per_s_per_chip": (hmc.get("nuts") or {}).get(
+            "samples_per_s_per_chip"),
+        "nuts_min_ess_per_s": (hmc.get("nuts") or {}).get("min_ess_per_s"),
         "numpy_baseline_points_per_s": round(pps_np, 1) if pps_np else None,
         "numpy_fit_seconds": round(fit_np, 4) if fit_np else None,
         "device": core.get("device") or roof.get("device")

@@ -80,29 +80,13 @@ def _leapfrog(logdens_grad, z, p, inv_mass, eps, n_steps):
     return z, p
 
 
-def hmc_sample(
-    key,
-    logdensity: Callable,
-    z0,
-    cfg: HMCConfig = HMCConfig(),
-    *,
-    axis_name: Optional[str] = None,
-):
-    """Run warmup + sampling for all (local) chains in one scan.
+def make_hmc_step(logdensity: Callable, cfg: HMCConfig, dtype):
+    """Batched fixed-trajectory HMC transition kernel.
 
-    Args:
-      key: PRNG key (same on every shard; `adaptive_mcmc` folds it with
-        `lax.axis_index(axis_name)`, so shards stay decorrelated under
-        shard_map).
-      logdensity: scalar log-density of one chain's parameter vector.
-      z0: (chains, dim) initial positions (local shard under shard_map).
-      axis_name: mesh axis for cross-chain adaptation collectives.
-
-    Returns (samples (chains, n_kept, dim), stats dict).
+    Returns step(z (chains, dim), key, eps, inv_mass) ->
+    (z_new, accept_prob (chains,), diverged (chains,)) — the step_fn shape
+    `adaptive_mcmc` / `mcmc_continue` drive.
     """
-    z0 = jnp.asarray(z0)
-    dtype = z0.dtype
-
     vgrad = jax.vmap(jax.value_and_grad(logdensity))
 
     def hmc_step(z, key, eps, inv_mass):
@@ -124,6 +108,31 @@ def hmc_sample(
         z = jnp.where(take[:, None], z_new, z)
         return z, accept_prob, diverged
 
+    return hmc_step
+
+
+def hmc_sample(
+    key,
+    logdensity: Callable,
+    z0,
+    cfg: HMCConfig = HMCConfig(),
+    *,
+    axis_name: Optional[str] = None,
+):
+    """Run warmup + sampling for all (local) chains in one scan.
+
+    Args:
+      key: PRNG key (same on every shard; `adaptive_mcmc` folds it with
+        `lax.axis_index(axis_name)`, so shards stay decorrelated under
+        shard_map).
+      logdensity: scalar log-density of one chain's parameter vector.
+      z0: (chains, dim) initial positions (local shard under shard_map).
+      axis_name: mesh axis for cross-chain adaptation collectives.
+
+    Returns (samples (chains, n_kept, dim), stats dict).
+    """
+    z0 = jnp.asarray(z0)
+    hmc_step = make_hmc_step(logdensity, cfg, z0.dtype)
     return adaptive_mcmc(key, hmc_step, z0, cfg, axis_name=axis_name)
 
 
@@ -250,6 +259,72 @@ def adaptive_mcmc(
         "warmup_accept_trace": warm_accepts,
     }
     return zs, stats
+
+
+def mcmc_continue(
+    key,
+    step_fn,
+    z,
+    eps,
+    inv_mass,
+    n_samples: int,
+    *,
+    axis_name: Optional[str] = None,
+    thin: int = 1,
+):
+    """Sampling-only continuation with a FROZEN adapted metric.
+
+    The exact-resume counterpart to `adaptive_mcmc` (which always re-runs
+    warmup): given a checkpointed (z, step_size, inv_mass, key) — e.g.
+    from utils.checkpoint.load_hmc_state — this draws `n_samples` more
+    post-warmup samples from the same stationary kernel, no re-adaptation.
+    Chaining k of these dispatches (each segment starts from the previous
+    one's last position and RETURNED key) produces one long chain from
+    the same stationary transition kernel — per-draw keys are fresh
+    independent splits each segment, and re-running a segment from its
+    checkpointed (z, eps, inv_mass, key) is bit-exact. This is what lets
+    production chains run on hardware that bounds single-dispatch
+    wall-clock (the remote-TPU relay kills executions over ~20-40 s —
+    docs/samplers.md long-chain table).
+
+    Returns (samples (chains, n_samples/thin, dim), stats, next_key).
+    """
+    key = jnp.asarray(key)
+    if axis_name is not None:
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+    z = jnp.asarray(z)
+    dtype = z.dtype
+    key, k_seg = jax.random.split(key)
+    keys = jax.random.split(k_seg, n_samples)
+
+    def body(z, k):
+        z, accept_prob, diverged = step_fn(z, k, eps, inv_mass)
+        return z, (z, accept_prob, diverged)
+
+    _, (zs, accepts, diverged) = jax.lax.scan(body, z, keys)
+    zs = jnp.swapaxes(zs, 0, 1)[:, ::thin]
+    accept_rate = jnp.mean(accepts)
+    divergence_rate = jnp.mean(diverged.astype(dtype))
+    if axis_name is not None:
+        accept_rate = jax.lax.pmean(accept_rate, axis_name)
+        divergence_rate = jax.lax.pmean(divergence_rate, axis_name)
+    stats = {
+        "step_size": eps,
+        "inv_mass": inv_mass,
+        "accept_rate": accept_rate,
+        "divergence_rate": divergence_rate,
+    }
+    return zs, stats, key
+
+
+def hmc_continue(key, logdensity, z, eps, inv_mass, n_samples: int,
+                 cfg: HMCConfig = HMCConfig(), *,
+                 axis_name: Optional[str] = None):
+    """HMC sampling-only continuation (see mcmc_continue)."""
+    z = jnp.asarray(z)
+    hmc_step = make_hmc_step(logdensity, cfg, z.dtype)
+    return mcmc_continue(key, hmc_step, z, eps, inv_mass, n_samples,
+                         axis_name=axis_name, thin=cfg.thin)
 
 
 def split_rhat(samples) -> jax.Array:

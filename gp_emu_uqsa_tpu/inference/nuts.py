@@ -250,3 +250,33 @@ def nuts_sample(
         divergence_threshold=cfg.divergence_threshold,
     )
     return adaptive_mcmc(key, step, jnp.asarray(z0), cfg, axis_name=axis_name)
+
+
+def nuts_continue(
+    key,
+    logdensity,
+    z,
+    eps,
+    inv_mass,
+    n_samples: int,
+    *,
+    max_depth: int = 8,
+    divergence_threshold: float = 1000.0,
+    axis_name: Optional[str] = None,
+):
+    """NUTS sampling-only continuation with a frozen adapted metric.
+
+    Exact-resume counterpart to nuts_sample (see hmc.mcmc_continue):
+    chaining k dispatches of this reproduces one long sampling scan, which
+    is how production-length chains run on hardware that bounds a single
+    device execution (docs/samplers.md long-chain table).
+    Returns (samples, stats, next_key).
+    """
+    from gp_emu_uqsa_tpu.inference.hmc import mcmc_continue
+
+    step = make_nuts_step(
+        logdensity, max_depth=max_depth,
+        divergence_threshold=divergence_threshold,
+    )
+    return mcmc_continue(key, step, jnp.asarray(z), eps, inv_mass, n_samples,
+                         axis_name=axis_name)

@@ -182,3 +182,75 @@ def test_config4_sharded_gp_hmc():
     assert float(stats["accept_rate"]) > 0.4
     rhat = np.asarray(split_rhat(samples))
     assert np.all(rhat < 1.3), rhat
+
+
+def test_mcmc_continue_exact_resume_and_stationarity():
+    """Sampling-only continuation (round-5): re-running a segment from its
+    checkpointed (z, eps, inv_mass, key) is bit-exact, and a chain built
+    from k chained segments keeps sampling the target (the chunked-
+    dispatch pattern production TPU chains use — docs/samplers.md)."""
+    from gp_emu_uqsa_tpu.inference.hmc import (
+        HMCConfig, hmc_continue, hmc_sample,
+    )
+
+    sd = jnp.asarray([1.0, 0.5, 2.0])
+
+    def logdensity(z):
+        return -0.5 * jnp.sum((z / sd) ** 2)
+
+    n_chains, d = 8, 3
+    z0 = jnp.zeros((n_chains, d))
+    cfg = HMCConfig(n_warmup=150, n_samples=1, n_leapfrog=8)
+    warm, stats = hmc_sample(jax.random.key(0), logdensity, z0, cfg)
+    z = warm[:, -1]
+    eps, im = stats["step_size"], stats["inv_mass"]
+
+    # bit-exact segment resume
+    s1, _, k1 = hmc_continue(jax.random.key(5), logdensity, z, eps, im, 16,
+                             cfg)
+    s1b, _, k1b = hmc_continue(jax.random.key(5), logdensity, z, eps, im, 16,
+                               cfg)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s1b))
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(k1)),
+        np.asarray(jax.random.key_data(k1b)))
+
+    # chained segments: 10 x 40 draws -> stationary moments
+    key = jax.random.key(5)
+    chunks = []
+    for _ in range(10):
+        seg, seg_stats, key = hmc_continue(key, logdensity, z, eps, im, 40,
+                                           cfg)
+        z = seg[:, -1]
+        chunks.append(np.asarray(seg))
+        assert float(seg_stats["accept_rate"]) > 0.5
+    flat = np.concatenate(chunks, axis=1).reshape(-1, d)
+    np.testing.assert_allclose(flat.std(axis=0), np.asarray(sd), rtol=0.15)
+    np.testing.assert_allclose(flat.mean(axis=0), 0.0, atol=0.25)
+
+
+def test_nuts_continue_matches_target():
+    from gp_emu_uqsa_tpu.inference.hmc import HMCConfig
+    from gp_emu_uqsa_tpu.inference.nuts import nuts_continue, nuts_sample
+
+    sd = jnp.asarray([1.0, 2.0])
+
+    def logdensity(z):
+        return -0.5 * jnp.sum((z / sd) ** 2)
+
+    z0 = jnp.zeros((8, 2))
+    cfg = HMCConfig(n_warmup=150, n_samples=1)
+    warm, stats = nuts_sample(jax.random.key(0), logdensity, z0, cfg,
+                              max_depth=5)
+    z = warm[:, -1]
+    key = jax.random.key(3)
+    chunks = []
+    for _ in range(6):
+        seg, seg_stats, key = nuts_continue(
+            key, logdensity, z, stats["step_size"], stats["inv_mass"], 50,
+            max_depth=5)
+        z = seg[:, -1]
+        chunks.append(np.asarray(seg))
+    flat = np.concatenate(chunks, axis=1).reshape(-1, 2)
+    np.testing.assert_allclose(flat.std(axis=0), np.asarray(sd), rtol=0.15)
+    np.testing.assert_allclose(flat.mean(axis=0), 0.0, atol=0.3)
