@@ -1,15 +1,19 @@
 """Mean-function basis h(x) for universal kriging.
 
 Reference parity: GP_emu_UQSA beliefs files specify the basis via
-`basis_str` / `basis_inf` (constant `1.0` plus per-input linear terms `x[i]`,
-see SURVEY.md S3 "Mean basis"). We support the same surface through
-`BasisSpec`: a constant term plus an arbitrary subset of linear terms (the
-reference's practically-used space), with `fix_mean` handled at the GP level
-by an empty basis and a fixed beta offset.
+`basis_str` / `basis_inf` (constant `1.0` plus per-input terms — linear by
+default, with user-specifiable functions such as `x**2`; see SURVEY.md S3
+"Mean basis": "constant + linear terms, user-specifiable functions"). We
+support that surface through `BasisSpec`: a constant term, an arbitrary
+subset of linear terms, plus arbitrary monomial power terms `x_i**p`
+(p >= 2 — the practically-used "user-specified" space; VERDICT r4
+next-step #9). `fix_mean` is handled at the GP level by an empty basis and
+a fixed beta offset.
 
-The basis is a pure function X -> H usable under jit/vmap; the UQSA
-closed-form integrals (sensitivity/) rely on the basis being at most linear,
-which is also the MUCM requirement.
+The basis is a pure function X -> H usable under jit/vmap. The UQSA
+closed-form integrals (sensitivity/) rely on the basis being AT MOST
+LINEAR — the MUCM requirement — so `Sensitivity` rejects specs with power
+terms; emulation/prediction accepts them.
 """
 from __future__ import annotations
 
@@ -19,20 +23,30 @@ import jax.numpy as jnp
 
 
 class BasisSpec(NamedTuple):
-    """Constant-plus-linear mean basis.
+    """Constant + linear-subset + monomial-power mean basis.
 
     Attributes:
       include_const: include the constant 1.0 column (reference default).
       linear_dims: indices (into the *active-input* columns of X) that get a
-        linear term, in order. Empty tuple => constant-only mean.
+        linear term, in order. Empty tuple => no linear terms.
+      power_terms: (dim, power) pairs appended as x_dim**power columns
+        (power >= 2); the beliefs-file "user-specified basis function"
+        surface. Column order is: const, linear terms, power terms.
     """
 
     include_const: bool = True
     linear_dims: tuple[int, ...] = ()
+    power_terms: tuple[tuple[int, int], ...] = ()
 
     @property
     def q(self) -> int:
-        return int(self.include_const) + len(self.linear_dims)
+        return (int(self.include_const) + len(self.linear_dims)
+                + len(self.power_terms))
+
+    @property
+    def is_linear(self) -> bool:
+        """True when the basis is MUCM-analytic-UQSA compatible (<= linear)."""
+        return not self.power_terms
 
 
 def linear_basis(d: int) -> BasisSpec:
@@ -52,22 +66,44 @@ def basis_matrix(x: jnp.ndarray, spec: BasisSpec) -> jnp.ndarray:
         cols.append(jnp.ones((x.shape[0], 1), dtype=x.dtype))
     if spec.linear_dims:
         cols.append(x[:, jnp.array(spec.linear_dims)])
+    for dim, power in spec.power_terms:
+        cols.append(x[:, dim:dim + 1] ** power)
     if not cols:
         return jnp.zeros((x.shape[0], 0), dtype=x.dtype)
     return jnp.concatenate(cols, axis=1)
 
 
+def _parse_power_token(token: str) -> int | None:
+    """'x**3' / 'x^3' / 'x[k]**3' -> 3; None when not a power form."""
+    for stripped in (token,):
+        # drop an optional [k] index (the input dim comes from basis_inf,
+        # reference format) so 'x[2]**2' parses like 'x**2'
+        if stripped.startswith("x[") and "]" in stripped:
+            stripped = "x" + stripped[stripped.index("]") + 1:]
+        for sep in ("**", "^"):
+            if stripped.startswith("x" + sep):
+                try:
+                    return int(stripped[1 + len(sep):])
+                except ValueError:
+                    return None
+    return None
+
+
 def parse_basis_strings(basis_str: Sequence[str], basis_inf: Sequence[str]) -> BasisSpec:
     """Parse the reference beliefs-file basis description.
 
-    `basis_str` like ["1.0", "x", "x"] and `basis_inf` like ["NA", "0", "1"]
-    (the reference's format: a token per basis function, with basis_inf
-    giving the input index or NA for the constant).
+    `basis_str` like ["1.0", "x", "x**2"] and `basis_inf` like
+    ["NA", "0", "1"] (the reference's format: a token per basis function,
+    with basis_inf giving the input index or NA for the constant).
+    Accepted function tokens: constant ("1.0"/"1"/"const"), linear ("x" or
+    "x[i]"), and monomial powers ("x**p" / "x^p" / "x[i]**p", p >= 2 —
+    the user-specified-function surface, SURVEY.md S3 Mean-basis row).
     """
     include_const = False
     linear: list[int] = []
+    powers: list[tuple[int, int]] = []
     for fn, inf in zip(basis_str, basis_inf):
-        token = fn.strip().lower()
+        token = fn.strip().lower().replace(" ", "")
         if token in ("1.0", "1", "const"):
             include_const = True
         elif token == "x" or (
@@ -75,8 +111,33 @@ def parse_basis_strings(basis_str: Sequence[str], basis_inf: Sequence[str]) -> B
         ):
             linear.append(int(inf))
         else:
-            raise ValueError(
-                f"unsupported basis function {fn!r}: only constant and linear "
-                "terms are supported (the MUCM-analytic-UQSA-compatible set)"
-            )
-    return BasisSpec(include_const, tuple(linear))
+            p = _parse_power_token(token)
+            if p is None or p < 1:
+                raise ValueError(
+                    f"unsupported basis function {fn!r}: accepted forms are "
+                    "constant ('1.0'), linear ('x'), and monomial powers "
+                    "('x**p')"
+                )
+            if p == 1:
+                linear.append(int(inf))
+            else:
+                powers.append((int(inf), p))
+    return BasisSpec(include_const, tuple(linear), tuple(powers))
+
+
+def basis_strings(spec: BasisSpec) -> tuple[list[str], list[str]]:
+    """BasisSpec -> (basis_str, basis_inf) in the reference file format.
+
+    Inverse of parse_basis_strings (checkpoint/beliefs write-back)."""
+    strs: list[str] = []
+    infs: list[str] = []
+    if spec.include_const:
+        strs.append("1.0")
+        infs.append("NA")
+    for dim in spec.linear_dims:
+        strs.append("x")
+        infs.append(str(dim))
+    for dim, power in spec.power_terms:
+        strs.append(f"x**{power}")
+        infs.append(str(dim))
+    return strs, infs

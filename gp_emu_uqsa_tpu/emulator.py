@@ -418,6 +418,12 @@ class Emulator:
         out.mucm = self.mle_config.mode == "mucm"
         out.fix_nugget = not self.mle_config.train_nugget
         out.input_minmax = self.splits.minmax
+        # write the basis explicitly (round 5: power terms must survive the
+        # beliefs round-trip; the implicit ["1.0"]-means-default-linear
+        # convention cannot carry them)
+        from gp_emu_uqsa_tpu.basis import basis_strings
+
+        out.basis_str, out.basis_inf = basis_strings(self.spec)
         # record the kernel family the fit actually used — a from_arrays
         # emulator otherwise writes back the default 'gaussian()' even for
         # matern/exponential fits (ADVICE r1)

@@ -95,6 +95,13 @@ class Sensitivity:
     @fp32_exact
     def __init__(self, state: gp.FitState, x, spec: BasisSpec, m, v,
                  beta: Optional[np.ndarray] = None):
+        if not spec.is_linear:
+            raise ValueError(
+                "the analytic MUCM sensitivity integrals require a mean "
+                "basis that is at most linear; this emulator's basis has "
+                f"monomial power terms {spec.power_terms} (emulation/"
+                "prediction supports them, UQSA does not — SURVEY.md S7)"
+            )
         self.state = state
         self.spec = spec
         dtype = state.l.dtype

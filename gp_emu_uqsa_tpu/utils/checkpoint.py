@@ -46,6 +46,7 @@ def save_emulator(path, emul, *, extra: dict | None = None) -> None:
         "train_nugget": emul.mle_config.train_nugget,
         "include_const": emul.spec.include_const,
         "linear_dims": list(emul.spec.linear_dims),
+        "power_terms": [list(t) for t in emul.spec.power_terms],
         "active": emul.active,
         "extra": extra or {},
     }
@@ -69,7 +70,10 @@ def load_emulator(path):
         meta["minmax"], tuple(meta["tv_config"]),
         [tuple(r) for r in meta["v_ranges"]],
     )
-    spec = BasisSpec(meta["include_const"], tuple(meta["linear_dims"]))
+    spec = BasisSpec(
+        meta["include_const"], tuple(meta["linear_dims"]),
+        tuple(tuple(t) for t in meta.get("power_terms", [])),
+    )
     family = meta.get("family", "gaussian")
     emul = Emulator(
         splits, spec, meta["active"],
