@@ -94,6 +94,7 @@ def noisefit_arrays(
     seed: int = 0,
     message: bool = False,
     design_size: Optional[int] = None,
+    iter_callback=None,
 ) -> NoiseFitResult:
     """Alternating heteroscedastic fit on arrays (scaled-input space).
 
@@ -103,6 +104,11 @@ def noisefit_arrays(
     training point; smaller values train the noise GP on a maximin
     (farthest-point) subset and predict the smoothed noise back onto the
     full set, cutting the noise-GP cost from O(n^3) to O(design_size^3).
+
+    iter_callback: optional `f(iteration, noise_variance_per_point)` hook
+    invoked after every alternating step — the file-driven `noisefit`
+    uses it to write per-iteration intermediate files (reference
+    behavior, SURVEY.md S3 noise-fit row).
     """
     x = np.asarray(x, dtype=np.float64)
     if x.ndim == 1:
@@ -167,6 +173,8 @@ def noisefit_arrays(
                                      if noise_diag is not None else 0.0))
         latent = np.maximum(np.asarray(loo_var) - cur_noise, 0.0)
         new_log_r = np.log(np.maximum(est_total - latent, 1e-12))
+        if iter_callback is not None:
+            iter_callback(it, np.exp(new_log_r))
         if log_r is not None:
             delta = float(np.mean(np.abs(new_log_r - log_r)))
             history.append(delta)
@@ -222,8 +230,10 @@ def noisefit(
     """Reference file-driven entry point.
 
     Reads the data config (inputs/outputs), runs the alternating fit, and
-    writes per-iteration-style outputs next to the originals: the final
-    smoothed noise estimates (`<outputs>-noise`) and the updated beliefs
+    writes outputs next to the originals: per-iteration intermediate noise
+    estimates (`<outputs>-noise-it<k>` — the reference writes intermediate
+    data files each iteration, SURVEY.md S3 noise-fit row), the final
+    smoothed noise estimates (`<outputs>-noise`), and the updated beliefs
     files for both GPs (`<beliefs>-f` of each config).
 
     `olhcmult` sizes the noise-estimation design as olhcmult * d points
@@ -241,12 +251,17 @@ def noisefit(
     x_scaled, minmax = minmax_scale(x_raw if db.active is None else x_raw[:, db.active])
 
     d_active = x_scaled.shape[1] if x_scaled.ndim == 2 else 1
+    out_path = Path(dc.outputs)
+
+    def write_iteration(it, noise_var):
+        save_matrix(out_path.with_name(out_path.name + f"-noise-it{it}"),
+                    noise_var)
+
     result = noisefit_arrays(
         x_scaled, y, stopat=stopat, tries=max(dc.tries, 2), message=message,
-        design_size=int(olhcmult) * d_active,
+        design_size=int(olhcmult) * d_active, iter_callback=write_iteration,
     )
 
-    out_path = Path(dc.outputs)
     save_matrix(out_path.with_name(out_path.name + "-noise"), result.noise_at_train)
     for conf, params, state in (
         (dc, result.data_params, result.data_state),

@@ -66,13 +66,14 @@ def _dist_chol_impl(a, *, block: int, axis_name: str | None):
     return jnp.where(cols <= rows, a, 0.0)
 
 
-@partial(jax.jit, static_argnames=("block", "trans"))
-def _dist_tri_solve_impl(l, b, *, block: int, trans: bool = False):
+def _tri_solve_loop(l, b, *, block: int, trans: bool = False):
     """Blocked substitution L x = b (or L^T x = b) with row-sharded L.
 
     Per step: gather one (B, n) row (or (n, B) column) slice of L, one
     GEMM against the solved part, one local B x B TRSM. Total comm n^2/B
-    rows; compute O(n^2 k), all GEMM-shaped.
+    rows; compute O(n^2 k), all GEMM-shaped. Unjitted body — call
+    `distributed_tri_solve` (standalone) or embed in a larger jitted
+    program (`predictor_large`'s W build).
     """
     n = l.shape[0]
     nb = n // block
@@ -105,6 +106,11 @@ def _dist_tri_solve_impl(l, b, *, block: int, trans: bool = False):
         return lax.dynamic_update_slice(x, xk, (off, 0))
 
     return lax.fori_loop(0, nb, body_bwd if trans else body_fwd, x)
+
+
+@partial(jax.jit, static_argnames=("block", "trans"))
+def _dist_tri_solve_impl(l, b, *, block: int, trans: bool = False):
+    return _tri_solve_loop(l, b, block=block, trans=trans)
 
 
 def distributed_tri_solve(l, b, mesh: Mesh | None = None, *, axis: str = "mr",

@@ -223,3 +223,72 @@ def test_fit_large_refine_fp32_compensated():
     # the improvement ratio below
     assert err1 < 1.5e-3
     assert err1 < err0 / 3          # the sweep demonstrably acted
+
+
+def test_predictor_large_sharded_serving():
+    """End-to-end sharded large-n serving with NO (n, n) global object
+    (VERDICT r4 next-step #3): fit_large -> predictor_large (W = L^-1 via
+    the distributed TRSM, identity built under a sharding constraint) ->
+    ring_predict, equal to the local predictor/predict_fast path, with the
+    (n, n) serving operand asserted row-sharded end to end."""
+    from jax.sharding import PartitionSpec as P
+
+    from gp_emu_uqsa_tpu.parallel.large_fit import fit_large, predictor_large
+    from gp_emu_uqsa_tpu.parallel.ring import ring_predict
+
+    rng = np.random.default_rng(12)
+    n, d, m = 256, 3, 53          # n mesh- and block-aligned (the prod path)
+    x = jnp.asarray(rng.uniform(size=(n, d)))
+    y = jnp.sin(3 * x[:, 0]) + x[:, 1] * x[:, 2]
+    spec = linear_basis(d)
+    h = basis_matrix(x, spec)
+    xs = jnp.asarray(rng.uniform(size=(m, d)))
+    hs = basis_matrix(xs, spec)
+    p = make_params(np.full(d, 0.7), nugget=1e-4, dtype=jnp.float64)
+    mesh = make_mesh({"mr": 8})
+
+    st = fit_large(p, x, y, h, mesh, block=64)
+    pred_s = predictor_large(st, mesh, block=64)
+    # the (n, n) serving operand is row-sharded — no full-size gather
+    assert tuple(pred_s.linv.sharding.spec)[:1] == ("mr",), \
+        pred_s.linv.sharding
+    # W itself equals the local triangular inverse
+    pred_l = gp.predictor(gp.fit(p, x, y, h))
+    np.testing.assert_allclose(np.asarray(pred_s.linv),
+                               np.asarray(pred_l.linv), rtol=1e-6, atol=1e-8)
+
+    mesh_data = make_mesh({"data": 8})
+    mean_r, var_r = ring_predict(pred_s, x, xs, hs, mesh_data)
+    mean_l, var_l = gp.predict_fast(pred_l, x, xs, hs)
+    np.testing.assert_allclose(np.asarray(mean_r), np.asarray(mean_l),
+                               rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(var_r), np.asarray(var_l),
+                               rtol=1e-7, atol=1e-12)
+
+
+def test_predictor_large_unaligned_n():
+    """Padding path: n not divisible by block*p still factorizes/serves."""
+    from gp_emu_uqsa_tpu.parallel.large_fit import fit_large, predictor_large
+    from gp_emu_uqsa_tpu.parallel.ring import ring_predict
+
+    rng = np.random.default_rng(13)
+    n, d = 150, 2
+    x = jnp.asarray(rng.uniform(size=(n, d)))
+    y = jnp.sin(2 * x[:, 0]) + x[:, 1]
+    spec = linear_basis(d)
+    h = basis_matrix(x, spec)
+    p = make_params(np.full(d, 0.8), nugget=1e-4, dtype=jnp.float64)
+    mesh = make_mesh({"mr": 8})
+    st = fit_large(p, x, y, h, mesh, block=32)
+    pred_s = predictor_large(st, mesh, block=32)
+    pred_l = gp.predictor(gp.fit(p, x, y, h))
+    np.testing.assert_allclose(np.asarray(pred_s.linv),
+                               np.asarray(pred_l.linv), rtol=1e-6, atol=1e-8)
+    xs = jnp.asarray(rng.uniform(size=(21, d)))
+    hs = basis_matrix(xs, spec)
+    mean_r, var_r = ring_predict(pred_s, x, xs, hs, make_mesh({"data": 8}))
+    mean_l, var_l = gp.predict_fast(pred_l, x, xs, hs)
+    np.testing.assert_allclose(np.asarray(mean_r), np.asarray(mean_l),
+                               rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(var_r), np.asarray(var_l),
+                               rtol=1e-7, atol=1e-12)
