@@ -537,12 +537,32 @@ def _scaling_summary() -> dict | None:
             sj = json.load(f)
     except (OSError, json.JSONDecodeError):
         return None
-    return {"hmc_efficiency": sj.get("hmc_efficiency"),
-            "fit_large_efficiency": sj.get("fit_large_efficiency"),
-            "hmc_efficiency_corrected": sj.get("hmc_efficiency_corrected"),
-            "fit_large_efficiency_corrected": sj.get(
-                "fit_large_efficiency_corrected"),
-            "physical_cores": sj.get("physical_cores")}
+    out = {"hmc_efficiency": sj.get("hmc_efficiency"),
+           "fit_large_efficiency": sj.get("fit_large_efficiency"),
+           "hmc_efficiency_corrected": sj.get("hmc_efficiency_corrected"),
+           "fit_large_efficiency_corrected": sj.get(
+               "fit_large_efficiency_corrected"),
+           "physical_cores": sj.get("physical_cores")}
+    # HLO collective-volume analysis (tools/collective_analysis.py):
+    # compact digest — per-workload collective bytes at 8 devices plus the
+    # modeled hardware efficiencies the virtual proxy cannot measure
+    analytic = sj.get("analytic") or {}
+    per_dev = (analytic.get("per_device_count") or {}).get("8") or {}
+    if per_dev:
+        out["collective_bytes_8dev"] = {
+            wl: d.get("total_bytes")
+            for wl, d in (per_dev.get("workloads") or {}).items()}
+    model = analytic.get("efficiency_model") or {}
+    ex = (model.get("extrapolated_n16384") or {}).get("v5e") or {}
+    if ex:
+        out["predicted_eff_overlapped_n16384_8dev_v5e"] = {
+            wl: (d.get("8") or {}).get("eff_overlapped")
+            for wl, d in ex.items()}
+    hmc_a = ((model.get("v5e") or {}).get("hmc_sharded") or {}).get("8")
+    if hmc_a:
+        out["hmc_predicted_hw_efficiency"] = hmc_a.get(
+            "predicted_efficiency")
+    return out
 
 
 def _last_tpu_summary() -> dict | None:

@@ -93,7 +93,7 @@ def test_sensitivity_file_tree(tmp_path, monkeypatch):
     rows = [ln.split() for ln in lines[4:]]
     s_i = np.array([float(r[2]) for r in rows])
     s_ti = np.array([float(r[4]) for r in rows])
-    # simulator x1 + 0.6 x2^2 + 0.25 sin(2 pi x1): x1 dominates
+    # simulator x1 + 0.15 exp(x1) + 0.6 x2^2: x1 dominates
     assert s_i[0] > s_i[1] > 0.0
     assert 0.9 < s_i.sum() < 1.1          # near-additive function
     assert np.all(s_ti >= s_i - 0.02)
