@@ -565,6 +565,30 @@ def _scaling_summary() -> dict | None:
     return out
 
 
+def _long_chain_summary() -> dict | None:
+    """512-draw on-chip chain results (tools/long_chain.py artifacts).
+
+    The stage_hmc ESS rates come from 32-64-draw windows, which cannot
+    resolve long autocorrelations: the 512-draw run shows 8-leapfrog HMC
+    FAILING convergence on this posterior (R-hat 3.44) while NUTS passes
+    (R-hat 1.046) — so the long-chain min-ESS/s column is the
+    quality-adjusted number to trust (docs/samplers.md round-5 table).
+    """
+    out = {}
+    for sampler in ("nuts", "hmc"):
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            f"LONGCHAIN_{sampler}.json")
+        try:
+            with open(path) as f:
+                d = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        out[sampler] = {k: d.get(k) for k in (
+            "draws_per_chain", "samples_per_s_per_chip", "min_ess",
+            "min_ess_per_s", "rhat_max", "device")}
+    return out or None
+
+
 def _last_tpu_summary() -> dict | None:
     """Headline numbers from the last-good TPU stage results in the cache.
 
@@ -638,6 +662,7 @@ def _payload(results: dict, *, fit_np, pps_np, waited, cpu,
         "numpy_fit_seconds": round(fit_np, 4) if fit_np else None,
         "device": core.get("device") or roof.get("device")
         or hmc.get("device") or "unknown",
+        "long_chain_512draws": _long_chain_summary(),
         "virtual_scaling": _scaling_summary(),
         "last_tpu_results": _last_tpu_summary() if cpu else None,
         "relay_waited_s": round(waited, 1),

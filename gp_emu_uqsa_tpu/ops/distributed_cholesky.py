@@ -66,14 +66,24 @@ def _dist_chol_impl(a, *, block: int, axis_name: str | None):
     return jnp.where(cols <= rows, a, 0.0)
 
 
-def _tri_solve_loop(l, b, *, block: int, trans: bool = False):
+def _tri_solve_loop(l, b, *, block: int, trans: bool = False,
+                    col_sharding=None):
     """Blocked substitution L x = b (or L^T x = b) with row-sharded L.
 
-    Per step: gather one (B, n) row (or (n, B) column) slice of L, one
-    GEMM against the solved part, one local B x B TRSM. Total comm n^2/B
-    rows; compute O(n^2 k), all GEMM-shaped. Unjitted body — call
+    Per step: one (B, n) row (or (n, B) column) slice of L, one GEMM
+    against the solved part, one local B x B TRSM. Unjitted body — call
     `distributed_tri_solve` (standalone) or embed in a larger jitted
     program (`predictor_large`'s W build).
+
+    col_sharding: optional NamedSharding(mesh, P(None, axis)) hint for
+    the forward step's row slice. Without it GSPMD BROADCASTS each (B, n)
+    slice to every device (B*n words/step -> n^2 words per device per
+    solve — the dominant term in the measured collective volume,
+    tools/collective_analysis.py). The hint reshards the slice
+    column-wise instead, so the GEMM against the row-sharded solution
+    contracts over the sharded dimension: comm per step drops to a
+    B*n/P-word scatter plus a (B, k)-word psum — ~P-fold less collective
+    traffic on the solves.
     """
     n = l.shape[0]
     nb = n // block
@@ -82,6 +92,8 @@ def _tri_solve_loop(l, b, *, block: int, trans: bool = False):
     def body_fwd(k, x):
         off = k * block
         rows = lax.dynamic_slice(l, (off, 0), (block, n))
+        if col_sharding is not None:
+            rows = lax.with_sharding_constraint(rows, col_sharding)
         partial_sum = rows @ x                    # solved prefix only:
         bk = lax.dynamic_slice(b, (off, 0), (block, b.shape[1]))
         lkk = lax.dynamic_slice(l, (off, off), (block, block))
@@ -108,9 +120,11 @@ def _tri_solve_loop(l, b, *, block: int, trans: bool = False):
     return lax.fori_loop(0, nb, body_bwd if trans else body_fwd, x)
 
 
-@partial(jax.jit, static_argnames=("block", "trans"))
-def _dist_tri_solve_impl(l, b, *, block: int, trans: bool = False):
-    return _tri_solve_loop(l, b, block=block, trans=trans)
+@partial(jax.jit, static_argnames=("block", "trans", "col_sharding"))
+def _dist_tri_solve_impl(l, b, *, block: int, trans: bool = False,
+                         col_sharding=None):
+    return _tri_solve_loop(l, b, block=block, trans=trans,
+                           col_sharding=col_sharding)
 
 
 def distributed_tri_solve(l, b, mesh: Mesh | None = None, *, axis: str = "mr",
@@ -129,10 +143,13 @@ def distributed_tri_solve(l, b, mesh: Mesh | None = None, *, axis: str = "mr",
         big_l = big_l.at[jnp.arange(n, n_pad), jnp.arange(n, n_pad)].set(1.0)
         l = big_l
         b = jnp.pad(b, ((0, n_pad - n), (0, 0)))
+    col_sharding = None
     if mesh is not None:
         l = jax.device_put(l, NamedSharding(mesh, P(axis, None)))
         b = jax.device_put(b, NamedSharding(mesh, P(axis, None)))
-    x = _dist_tri_solve_impl(l, b, block=block, trans=trans)
+        col_sharding = NamedSharding(mesh, P(None, axis))
+    x = _dist_tri_solve_impl(l, b, block=block, trans=trans,
+                             col_sharding=col_sharding)
     x = x[:n]
     return x[:, 0] if squeeze else x
 

@@ -231,7 +231,11 @@ def predictor_large(
         l = jax.lax.with_sharding_constraint(l, sharding)
         eye = jax.lax.with_sharding_constraint(
             jnp.eye(n_pad, dtype=dtype), sharding)
-        w = _tri_solve_loop(l, eye, block=block)
+        # gather-free forward solve: the col-sharding hint turns the
+        # per-step (B, n) panel broadcast into a B*n/P scatter + psum
+        # (ops/distributed_cholesky._tri_solve_loop note)
+        w = _tri_solve_loop(l, eye, block=block,
+                            col_sharding=NamedSharding(mesh, P(None, axis)))
         return jnp.tril(w)
 
     w_full = build_w(state.l)
