@@ -127,15 +127,136 @@ def _dist_tri_solve_impl(l, b, *, block: int, trans: bool = False,
                            col_sharding=col_sharding)
 
 
-def distributed_tri_solve(l, b, mesh: Mesh | None = None, *, axis: str = "mr",
-                          block: int = 512, trans: bool = False):
-    """Solve L x = b (or L^T x = b); L lower, row-sharded over `axis`."""
+def _tri_solve_shard_map_local(l_loc, b_loc, *, axis: str, block: int,
+                               rows_per: int, trans: bool):
+    """Per-device body of the manual distributed substitution (see
+    tri_solve_shard_map). l_loc (n/P, n) = my row block of L (FULL
+    columns); b_loc (n/P, k) = my rows of the RHS."""
+    me = jax.lax.axis_index(axis)
+    n = l_loc.shape[1]
+    nb = n // block
+    kk = b_loc.shape[1]
+    eye = jnp.eye(block, dtype=l_loc.dtype)
+
+    def solve_block(off, loc_off, owner, rhs_blk, transpose):
+        """TRSM of the diagonal block on the owner; identity elsewhere
+        (non-owner lanes compute on in-bounds garbage that the psum mask
+        discards — the identity keeps it finite)."""
+        lkk = jax.lax.dynamic_slice(l_loc, (loc_off, off), (block, block))
+        lkk = jnp.where(me == owner, lkk, eye)
+        xk = jax.lax.linalg.triangular_solve(
+            lkk, rhs_blk, left_side=True, lower=True, transpose_a=transpose)
+        # one-to-all broadcast of the solved block: psum of the masked
+        # value — B*k words per step, the step's ONLY collective
+        return jax.lax.psum(jnp.where(me == owner, xk, 0.0), axis)
+
+    if not trans:
+        # forward L x = b: running accumulator acc[r] = sum_solved
+        # L[row r, solved] @ x_solved, updated from MY OWN column slice
+        # of the broadcast block — no L or x movement at all
+        def body(k, carry):
+            x_loc, acc = carry
+            off = k * block
+            owner = off // rows_per
+            loc_off = off - owner * rows_per
+            bk = jax.lax.dynamic_slice(b_loc, (loc_off, 0), (block, kk))
+            ak = jax.lax.dynamic_slice(acc, (loc_off, 0), (block, kk))
+            xk = solve_block(off, loc_off, owner, bk - ak, False)
+            col = jax.lax.dynamic_slice(l_loc, (0, off), (rows_per, block))
+            acc = acc + col @ xk
+            x_new = jax.lax.dynamic_update_slice(x_loc, xk, (loc_off, 0))
+            x_loc = jnp.where(me == owner, x_new, x_loc)
+            return x_loc, acc
+
+        x_loc, _ = jax.lax.fori_loop(
+            0, nb, body, (jnp.zeros_like(b_loc), jnp.zeros_like(b_loc)))
+        return x_loc
+
+    # backward L^T x = b: per step each device contributes its local rows'
+    # partial (L[:, off:off+B]^T x)_local; the psum assembles the full sum
+    # (solved rows only are nonzero in x_loc), B*k words each way
+    def body(i, x_loc):
+        k = nb - 1 - i
+        off = k * block
+        owner = off // rows_per
+        loc_off = off - owner * rows_per
+        colT = jax.lax.dynamic_slice(l_loc, (0, off), (rows_per, block))
+        partial_loc = colT.T @ x_loc                       # (B, kk)
+        s = jax.lax.psum(partial_loc, axis)
+        bk = jax.lax.dynamic_slice(b_loc, (loc_off, 0), (block, kk))
+        xk = solve_block(off, loc_off, owner, bk - s, True)
+        x_new = jax.lax.dynamic_update_slice(x_loc, xk, (loc_off, 0))
+        return jnp.where(me == owner, x_new, x_loc)
+
+    return jax.lax.fori_loop(0, nb, body, jnp.zeros_like(b_loc))
+
+
+def tri_solve_shard_map(l, b, mesh: Mesh, *, axis: str = "mr",
+                        block: int = 512, trans: bool = False):
+    """Manual shard_map blocked substitution: L stays (n/P, n) PER DEVICE.
+
+    Round-5 finding (tools/collective_analysis.py + HLO probe): under the
+    GSPMD formulation the loop-varying dynamic-slice on the sharded row
+    axis is not partitionable, so XLA silently ALL-GATHERS the full
+    (n, n) factor before the loop — n^2 words of traffic per solve and,
+    worse, an (n, n) replicated buffer per device, defeating the
+    row-sharded memory story at exactly the n that needs it. This manual
+    version keeps every L operand local and moves only the solved (B, k)
+    block per step through one psum (+ one more for the backward partial
+    sums): total collective volume ~2 n k words, and per-device memory
+    n^2/P + nk.
+
+    Requires n % (block * P) == 0 with block <= n/P (callers fall back to
+    the GSPMD path otherwise).
+    """
+    from functools import partial as _partial
+
+    p = mesh.shape[axis]
     l = jnp.asarray(l)
     b = jnp.asarray(b)
     squeeze = b.ndim == 1
     if squeeze:
         b = b[:, None]
     n = l.shape[0]
+    rows_per = n // p
+    if n % p or rows_per % block or block > rows_per:
+        raise ValueError(
+            f"tri_solve_shard_map needs block | n/P (n={n}, P={p}, "
+            f"block={block}); use distributed_tri_solve's GSPMD path")
+    local = _partial(_tri_solve_shard_map_local, axis=axis, block=block,
+                     rows_per=rows_per, trans=trans)
+    fn = jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis, None), P(axis, None)),
+        out_specs=P(axis, None), check_vma=False,
+    ))
+    x = fn(jax.device_put(l, NamedSharding(mesh, P(axis, None))),
+           jax.device_put(b, NamedSharding(mesh, P(axis, None))))
+    return x[:, 0] if squeeze else x
+
+
+def distributed_tri_solve(l, b, mesh: Mesh | None = None, *, axis: str = "mr",
+                          block: int = 512, trans: bool = False):
+    """Solve L x = b (or L^T x = b); L lower, row-sharded over `axis`.
+
+    With a mesh and compatible alignment this dispatches to the manual
+    shard_map substitution (tri_solve_shard_map — L stays local per
+    device, ~2nk words of collectives); otherwise the GSPMD global-array
+    formulation (which XLA compiles with a full-factor all-gather — see
+    tri_solve_shard_map's docstring for the measured finding).
+    """
+    l = jnp.asarray(l)
+    b = jnp.asarray(b)
+    squeeze = b.ndim == 1
+    if squeeze:
+        b = b[:, None]
+    n = l.shape[0]
+    if mesh is not None:
+        p = mesh.shape[axis]
+        if n % p == 0 and (n // p) % block == 0 and block <= n // p:
+            x = tri_solve_shard_map(l, b, mesh, axis=axis, block=block,
+                                    trans=trans)
+            return x[:, 0] if squeeze else x
     n_pad = ((n + block - 1) // block) * block
     if n_pad != n:
         big_l = jnp.zeros((n_pad, n_pad), l.dtype)

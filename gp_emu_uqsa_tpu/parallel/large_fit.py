@@ -18,7 +18,7 @@ from jax.sharding import Mesh
 from gp_emu_uqsa_tpu import gp
 from gp_emu_uqsa_tpu.kernels import GPParams
 from gp_emu_uqsa_tpu.ops.distributed_cholesky import (
-    _dist_chol_impl, _rec_chol, _tri_solve_loop, distributed_tri_solve,
+    _dist_chol_impl, _rec_chol, distributed_tri_solve,
 )
 from gp_emu_uqsa_tpu.parallel.sharded_gp import build_corr_sharded
 from gp_emu_uqsa_tpu.ops.precision import fp32_exact
@@ -199,9 +199,10 @@ def predictor_large(
     device). Here every (n, n) object stays row-sharded over `axis`:
     the identity RHS is CREATED inside the jitted program under a
     sharding constraint (each device materializes only its row block),
-    the TRSM is the distributed blocked substitution
-    (`ops.distributed_cholesky._tri_solve_loop` — one (B, n) row-slice
-    gather per step riding ICI), and the returned Predictor's `linv`
+    the TRSM is the manual shard_map substitution
+    (`ops.distributed_cholesky.tri_solve_shard_map` body — the factor
+    stays (n/P, n) per device; only solved (B, n) blocks move, via one
+    psum per step riding ICI), and the returned Predictor's `linv`
     carries the NamedSharding(mesh, P(axis, None)) layout that
     `ring_predict` consumes without re-laying it out.
 
@@ -213,14 +214,21 @@ def predictor_large(
 
     from gp_emu_uqsa_tpu.ops.cholesky import tri_solve
 
+    from gp_emu_uqsa_tpu.ops.distributed_cholesky import (
+        _tri_solve_shard_map_local,
+    )
+
     dtype = state.l.dtype
     n = state.l.shape[0]
     p = mesh.shape[axis]
-    # pad so both the block loop and the shard axis divide evenly
-    n_pad = n
-    step = block * p // _gcd(block, p)
-    if n_pad % step:
-        n_pad = (n_pad // step + 1) * step
+    # pad so the shard axis divides evenly; block shrinks to the largest
+    # divisor of the per-device row count (the shard_map solve needs
+    # block | n/P)
+    n_pad = n if n % p == 0 else (n // p + 1) * p
+    rows_per = n_pad // p
+    blk = min(block, rows_per)
+    while rows_per % blk:
+        blk -= 1
     sharding = NamedSharding(mesh, P(axis, None))
 
     @partial(jax.jit, out_shardings=sharding)
@@ -231,11 +239,17 @@ def predictor_large(
         l = jax.lax.with_sharding_constraint(l, sharding)
         eye = jax.lax.with_sharding_constraint(
             jnp.eye(n_pad, dtype=dtype), sharding)
-        # gather-free forward solve: the col-sharding hint turns the
-        # per-step (B, n) panel broadcast into a B*n/P scatter + psum
-        # (ops/distributed_cholesky._tri_solve_loop note)
-        w = _tri_solve_loop(l, eye, block=block,
-                            col_sharding=NamedSharding(mesh, P(None, axis)))
+        # manual shard_map substitution: L stays (n/P, n) per device —
+        # the GSPMD formulation silently all-gathered the full factor
+        # inside the loop (round-5 HLO finding, ops/distributed_cholesky
+        # tri_solve_shard_map docstring)
+        local = partial(_tri_solve_shard_map_local, axis=axis, block=blk,
+                        rows_per=rows_per, trans=False)
+        w = jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(axis, None), P(axis, None)),
+            out_specs=P(axis, None), check_vma=False,
+        )(l, eye)
         return jnp.tril(w)
 
     w_full = build_w(state.l)
@@ -252,8 +266,3 @@ def predictor_large(
         state.ainv_h, w_chol, state.sigma2,
     )
 
-
-def _gcd(a: int, b: int) -> int:
-    while b:
-        a, b = b, a % b
-    return a
