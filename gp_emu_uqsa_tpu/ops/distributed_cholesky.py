@@ -76,14 +76,15 @@ def _tri_solve_loop(l, b, *, block: int, trans: bool = False,
     program (`predictor_large`'s W build).
 
     col_sharding: optional NamedSharding(mesh, P(None, axis)) hint for
-    the forward step's row slice. Without it GSPMD BROADCASTS each (B, n)
-    slice to every device (B*n words/step -> n^2 words per device per
-    solve — the dominant term in the measured collective volume,
-    tools/collective_analysis.py). The hint reshards the slice
-    column-wise instead, so the GEMM against the row-sharded solution
-    contracts over the sharded dimension: comm per step drops to a
-    B*n/P-word scatter plus a (B, k)-word psum — ~P-fold less collective
-    traffic on the solves.
+    the forward step's row slice. MEASURED INEFFECTIVE (round-5 HLO
+    probe): with or without the hint, GSPMD compiles this formulation
+    with one all-gather of the FULL (n, n) factor before the loop — the
+    loop-varying dynamic-slice on the sharded row axis is not
+    partitionable, so the solver replicates `l`. The real fix is
+    `tri_solve_shard_map` below (factor stays local, ~2nk-word
+    collectives), which `distributed_tri_solve` prefers whenever the
+    block/shard alignment allows; this GSPMD body remains the
+    single-device and unaligned fallback.
     """
     n = l.shape[0]
     nb = n // block
