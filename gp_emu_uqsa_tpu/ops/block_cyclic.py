@@ -83,11 +83,24 @@ def _kernel(local, *, g: int, block: int, p_r: int, p_c: int,
         lcol = jnp.where(keep, lcol, 0.0)
         newcol = jnp.where(my_c == owner_c, lcol, acol)
         loc = lax.dynamic_update_slice(loc, newcol[:, None], (0, lj, 0, 0))
-        # 3. panel broadcast: along mc (row-set blocks), then mr (full panel)
+        # 3. panel exchange: along mc (my row-set blocks, (G/P_r) B^2
+        # words), then along mr ONLY the blocks this device's columns
+        # need ((G/P_c) B^2 words) — the trailing update on device
+        # (r, c) consumes prow (its rows, local after the ac psum) and
+        # pcol (panel blocks at ITS column indices gj). The round-4
+        # version psum'd the FULL (G, B, B) panel along mr (n B words
+        # per step -> 2 n^2 per device total); exchanging just the gj
+        # blocks is the ~n^2/sqrt(P) per-device volume that
+        # distinguishes the 2D layout from the 1D schemes
+        # (tools/collective_analysis.py round-5 finding). All devices
+        # in an mr group share gj (it depends on my_c only), and the
+        # block at global index t is owned, post-ac-psum, by the row
+        # owner my_r == t mod P_r at local slot t // P_r.
         prow = lax.psum(lcol, ac)                          # (Glr, B, B)
-        contrib = jnp.zeros((g, block, block), loc.dtype).at[gi].set(prow)
-        lfull = lax.psum(contrib, ar)                      # (G, B, B)
-        pcol = lfull[gj]                                   # (Glc, B, B)
+        own = (gj % p_r) == my_r                           # (Glc,)
+        slot = jnp.clip(gj // p_r, 0, g_lr - 1)
+        contrib = jnp.where(own[:, None, None], prow[slot], 0.0)
+        pcol = lax.psum(contrib, ar)                       # (Glc, B, B)
         # 4. trailing update, column-masked to j > k (static shapes)
         upd = jnp.einsum("apq,brq->abpr", prow, pcol,
                          preferred_element_type=loc.dtype,
