@@ -351,8 +351,8 @@ def stage_hmc():
             nuts = measure_nuts(n_chains=16, n=256, d=4, n_warmup=32,
                                 segment_draws=16, n_segments=4)
             out["nuts"] = nuts
-        except Exception:
-            pass
+        except Exception as exc:
+            out["nuts_error"] = repr(exc)[:200]
         return out
     out = measure_hmc()
     # NUTS on the SAME posterior (VERDICT r4 next-step #5): the measured

@@ -61,6 +61,18 @@ def const_basis() -> BasisSpec:
 
 def basis_matrix(x: jnp.ndarray, spec: BasisSpec) -> jnp.ndarray:
     """H with rows h(x_i)^T, shape (n, q)."""
+    d = x.shape[1]
+    # validate input-dim references eagerly: jnp indexing CLAMPS
+    # out-of-range indices and x[:, d:d+1] silently yields an EMPTY
+    # column, so a beliefs file whose basis_inf exceeds the active dims
+    # would otherwise train the wrong mean with no error (code-review r5
+    # finding #4)
+    bad = [i for i in spec.linear_dims if not 0 <= i < d] + [
+        dim for dim, _ in spec.power_terms if not 0 <= dim < d]
+    if bad:
+        raise ValueError(
+            f"basis references input dim(s) {bad} but X has {d} columns "
+            "(check basis_inf against the active inputs)")
     cols = []
     if spec.include_const:
         cols.append(jnp.ones((x.shape[0], 1), dtype=x.dtype))

@@ -162,9 +162,17 @@ class Emulator:
         return x, jnp.asarray(y, dtype=self.dtype), h
 
     def train_view(self):
-        key = (self.n_folded, id(self.splits),
-               None if self.fixed_beta is None else id(self.fixed_beta))
-        if self._tv_cache is None or self._tv_cache[0] != key:
+        # the key HOLDS the constituent objects (identity-compared), so a
+        # recycled id() after GC can never alias, and basis/dtype changes
+        # invalidate too — code-review r5 finding #3
+        key = (self.n_folded, self.splits, self.fixed_beta, self.spec,
+               self.dtype)
+        cached = self._tv_cache
+        if cached is None or not (
+            cached[0][0] == key[0] and cached[0][1] is key[1]
+            and cached[0][2] is key[2] and cached[0][3] == key[3]
+            and cached[0][4] == key[4]
+        ):
             self._tv_cache = (key,
                               self._xy(self.splits.train_rows(self.n_folded)))
         return self._tv_cache[1]
@@ -219,7 +227,10 @@ class Emulator:
         host round-trip of the full query set per predict() call, which
         through a remote-device link costs more than the prediction.
         """
-        x_new = jnp.asarray(x_new)
+        # cast to the float working dtype up front: an integer query array
+        # would otherwise truncate the min-max lo/span to ints (span < 1
+        # -> 0 -> inf predictions) — code-review r5 finding #1
+        x_new = jnp.asarray(x_new, dtype=self.dtype)
         if x_new.ndim == 1:
             x_new = x_new[:, None]
         if self.active is not None:

@@ -25,7 +25,7 @@ Numerics: fp32 with per-panel jitterless chol; feed well-conditioned
 """
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -210,8 +210,6 @@ def tri_solve_shard_map(l, b, mesh: Mesh, *, axis: str = "mr",
     Requires n % (block * P) == 0 with block <= n/P (callers fall back to
     the GSPMD path otherwise).
     """
-    from functools import partial as _partial
-
     p = mesh.shape[axis]
     l = jnp.asarray(l)
     b = jnp.asarray(b)
@@ -224,16 +222,24 @@ def tri_solve_shard_map(l, b, mesh: Mesh, *, axis: str = "mr",
         raise ValueError(
             f"tri_solve_shard_map needs block | n/P (n={n}, P={p}, "
             f"block={block}); use distributed_tri_solve's GSPMD path")
-    local = _partial(_tri_solve_shard_map_local, axis=axis, block=block,
-                     rows_per=rows_per, trans=trans)
-    fn = jax.jit(jax.shard_map(
+    fn = _shard_map_solver(mesh, axis, block, rows_per, trans)
+    x = fn(jax.device_put(l, NamedSharding(mesh, P(axis, None))),
+           jax.device_put(b, NamedSharding(mesh, P(axis, None))))
+    return x[:, 0] if squeeze else x
+
+
+@lru_cache(maxsize=64)
+def _shard_map_solver(mesh, axis, block, rows_per, trans):
+    """One cached jitted shard_map program per (mesh, layout) — a fresh
+    jax.jit wrapper per call would retrace/recompile every solve
+    (code-review r5 finding #2; the repo's module-scope-jit convention)."""
+    local = partial(_tri_solve_shard_map_local, axis=axis, block=block,
+                    rows_per=rows_per, trans=trans)
+    return jax.jit(jax.shard_map(
         local, mesh=mesh,
         in_specs=(P(axis, None), P(axis, None)),
         out_specs=P(axis, None), check_vma=False,
     ))
-    x = fn(jax.device_put(l, NamedSharding(mesh, P(axis, None))),
-           jax.device_put(b, NamedSharding(mesh, P(axis, None))))
-    return x[:, 0] if squeeze else x
 
 
 def distributed_tri_solve(l, b, mesh: Mesh | None = None, *, axis: str = "mr",

@@ -142,3 +142,30 @@ class TestEndToEnd:
         m1, v1 = emul.predict(xq)
         m2, v2 = emul2.predict(xq)
         np.testing.assert_allclose(np.asarray(m1), np.asarray(m2), rtol=1e-6)
+
+
+class TestValidation:
+    def test_basis_matrix_rejects_out_of_range_dim(self):
+        # jnp indexing clamps and x[:, d:d+1] yields an EMPTY column, so
+        # without the eager check a beliefs file with a bad basis_inf
+        # index would silently train the wrong mean (code-review r5 #4)
+        x = jnp.ones((5, 3))
+        with pytest.raises(ValueError, match="input dim"):
+            basis_matrix(x, BasisSpec(True, (), ((5, 2),)))
+        with pytest.raises(ValueError, match="input dim"):
+            basis_matrix(x, BasisSpec(True, (0, 7), ()))
+
+    def test_integer_query_inputs_predict_correctly(self):
+        # integer query arrays used to truncate the min-max lo/span to
+        # ints inside _prepare_inputs (code-review r5 #1)
+        rng = np.random.default_rng(5)
+        x = rng.uniform(0.3, 3.7, size=(50, 2))
+        y = np.sin(x[:, 0]) + x[:, 1]
+        emul = Emulator.from_arrays(x, y, tries=2, tv_config=(4, 0, 1),
+                                    scale_inputs=True)
+        emul.optimize()
+        xq_f = np.array([[1.0, 2.0], [2.0, 3.0]])
+        m_f, _ = emul.predict(xq_f)
+        m_i, _ = emul.predict([[1, 2], [2, 3]])        # int nested list
+        np.testing.assert_allclose(np.asarray(m_i), np.asarray(m_f),
+                                   rtol=1e-12)

@@ -101,18 +101,21 @@ def long_chain(sampler: str = "nuts", n: int = 1024, d: int = 8,
 
     z, eps, im, key, meta = load_hmc_state(state_path)
     cfg_seg = HMCConfig(n_leapfrog=n_leapfrog)
+    # eps/im travel as ARRAY ARGS of the timed jit — a closure-captured
+    # constant is re-staged per dispatch through the remote-device link
+    # (CLAUDE.md timing rule; code-review r5 finding #5)
     if sampler == "nuts":
-        seg_fn = jax.jit(lambda k, z: nuts_continue(
+        seg_fn = jax.jit(lambda k, z, eps, im: nuts_continue(
             k, ld, z, eps, im, segment_draws, max_depth=max_depth))
     else:
-        seg_fn = jax.jit(lambda k, z: hmc_continue(
+        seg_fn = jax.jit(lambda k, z, eps, im: hmc_continue(
             k, ld, z, eps, im, segment_draws, cfg_seg))
 
     seg_times = []
     accepts = []
     for seg in range(start_seg, n_segments):
         t0 = time.perf_counter()
-        zs, seg_stats, key = seg_fn(key, z)
+        zs, seg_stats, key = seg_fn(key, z, eps, im)
         z = zs[:, -1]
         float(z[-1, -1])              # host sync: one dispatch per segment
         dt = time.perf_counter() - t0
