@@ -30,6 +30,12 @@ from gp_emu_uqsa_tpu.kernels import GPParams
 from gp_emu_uqsa_tpu.sensitivity._core import Sensitivity
 
 
+@jax.jit
+def _multi_predict(states, x, h, xstar, hstar):
+    return jax.vmap(lambda st: gp.predict(st, x, h, xstar, hstar))(states)
+
+
+
 @dataclasses.dataclass
 class MultiEmulator:
     """k independent GPs over shared inputs, batched on-device."""
@@ -128,14 +134,11 @@ class MultiEmulator:
             if hstar is not None
             else basis_matrix(xstar, self.spec)
         )
-
-        @jax.jit
-        def run(states, y):
-            return jax.vmap(
-                lambda st: gp.predict(st, self.x, self.h, xstar, hstar)
-            )(states)
-
-        return run(self.states, self.y)
+        # module-level jit + all operands as args: the previous per-call
+        # @jax.jit closure retraced every predict() AND re-staged the
+        # captured xstar/x/h per dispatch (same class as code-review r4
+        # finding #3 / CLAUDE.md timing rule)
+        return _multi_predict(self.states, self.x, self.h, xstar, hstar)
 
     def state_for(self, k: int) -> gp.FitState:
         return jax.tree.map(lambda leaf: leaf[k], self.states)
