@@ -19,8 +19,9 @@ import jax.numpy as jnp
 from gp_emu_uqsa_tpu import gp
 from gp_emu_uqsa_tpu.basis import basis_matrix, linear_basis
 from gp_emu_uqsa_tpu.kernels import make_params
-from gp_emu_uqsa_tpu.parallel import make_mesh
-from gp_emu_uqsa_tpu.parallel.large_fit import fit_large
+from gp_emu_uqsa_tpu.parallel import (
+    fit_large, make_mesh, predictor_large, ring_predict,
+)
 
 
 def main(n=1024, m=20000, d=8, block=256, verbose=True):
@@ -40,12 +41,15 @@ def main(n=1024, m=20000, d=8, block=256, verbose=True):
     float(state.nll)
     fit_s = time.perf_counter() - t0
 
-    pred = jax.jit(gp.predictor)(state)
+    # serving predictor built SHARDED: W = L^-1 via the shard_map
+    # distributed TRSM — no (n, n) object ever gathers to one device
+    # (round-5; parallel.predictor_large docstring)
+    pred = predictor_large(state, mesh, block=block)
     float(pred.sigma2)
     xs = jnp.asarray(rng.uniform(size=(m, d)), dtype)
     hs = basis_matrix(xs, spec)
     t0 = time.perf_counter()
-    mean, var = gp.predict_batched(pred, x, xs, hs, batch=min(m, 65536))
+    mean, var = ring_predict(pred, x, xs, hs, make_mesh({"data": n_dev}))
     float(var[-1])
     pred_s = time.perf_counter() - t0
 
@@ -79,7 +83,7 @@ def main(n=1024, m=20000, d=8, block=256, verbose=True):
     if verbose:
         print(f"distributed fit  n={n} on {n_dev} devices: {fit_s:.2f}s "
               f"(NLL={float(state.nll):.4g})")
-        print(f"batched predict  m={m}: {pred_s:.2f}s "
+        print(f"ring predict     m={m}: {pred_s:.2f}s "
               f"({m / pred_s:,.0f} points/s mean+var)")
     return state, float(mean[0]), float(var[0])
 
