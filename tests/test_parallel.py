@@ -292,3 +292,26 @@ def test_predictor_large_unaligned_n():
                                rtol=1e-9)
     np.testing.assert_allclose(np.asarray(var_r), np.asarray(var_l),
                                rtol=1e-7, atol=1e-12)
+
+
+def test_shard_map_trsm_hlo_has_no_allgather():
+    """The round-5 structural claim, pinned at the HLO level: the manual
+    shard_map substitution must compile with ZERO all-gathers (the GSPMD
+    formulation silently replicated the full factor — see
+    tri_solve_shard_map docstring). Only the per-step (B, k) psum
+    (all-reduce) may appear."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from gp_emu_uqsa_tpu.ops.distributed_cholesky import _shard_map_solver
+
+    mesh = make_mesh({"mr": 8})
+    n, blk, k = 512, 32, 4
+    l = jnp.tril(jnp.ones((n, n))) + n * jnp.eye(n)
+    b = jnp.ones((n, k))
+    lp = jax.device_put(l, NamedSharding(mesh, P("mr", None)))
+    bp = jax.device_put(b, NamedSharding(mesh, P("mr", None)))
+    for trans in (False, True):
+        fn = _shard_map_solver(mesh, "mr", blk, n // 8, trans)
+        txt = fn.lower(lp, bp).compile().as_text()
+        assert "all-gather" not in txt, f"trans={trans}"
+        assert "all-reduce" in txt          # the (B, k) psum broadcast
