@@ -114,6 +114,20 @@ def parse_basis_strings(basis_str: Sequence[str], basis_inf: Sequence[str]) -> B
     include_const = False
     linear: list[int] = []
     powers: list[tuple[int, int]] = []
+
+    def dim_of(fn: str, inf: str) -> int:
+        # contextual error instead of a bare int() ValueError when a
+        # non-constant token is paired with e.g. 'NA' (misaligned
+        # basis_str/basis_inf columns — code-review r5b finding #5)
+        try:
+            return int(inf)
+        except ValueError:
+            raise ValueError(
+                f"basis function {fn!r} needs an integer input index in "
+                f"basis_inf, got {inf!r} (check basis_str/basis_inf "
+                "alignment; 'NA' is only valid for the constant)"
+            ) from None
+
     for fn, inf in zip(basis_str, basis_inf):
         token = fn.strip().lower().replace(" ", "")
         if token in ("1.0", "1", "const"):
@@ -121,7 +135,7 @@ def parse_basis_strings(basis_str: Sequence[str], basis_inf: Sequence[str]) -> B
         elif token == "x" or (
             token.startswith("x[") and token.endswith("]")
         ):
-            linear.append(int(inf))
+            linear.append(dim_of(fn, inf))
         else:
             p = _parse_power_token(token)
             if p is None or p < 1:
@@ -131,9 +145,9 @@ def parse_basis_strings(basis_str: Sequence[str], basis_inf: Sequence[str]) -> B
                     "('x**p')"
                 )
             if p == 1:
-                linear.append(int(inf))
+                linear.append(dim_of(fn, inf))
             else:
-                powers.append((int(inf), p))
+                powers.append((dim_of(fn, inf), p))
     return BasisSpec(include_const, tuple(linear), tuple(powers))
 
 

@@ -11,6 +11,8 @@ layout through downstream solves.
 """
 from __future__ import annotations
 
+from functools import lru_cache
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh
@@ -208,15 +210,7 @@ def predictor_large(
 
     The O(q) pieces (beta, G-chol, A^-1 H) are replicated — q is tiny.
     """
-    from functools import partial
-
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
     from gp_emu_uqsa_tpu.ops.cholesky import tri_solve
-
-    from gp_emu_uqsa_tpu.ops.distributed_cholesky import (
-        _tri_solve_shard_map_local,
-    )
 
     dtype = state.l.dtype
     n = state.l.shape[0]
@@ -229,30 +223,8 @@ def predictor_large(
     blk = min(block, rows_per)
     while rows_per % blk:
         blk -= 1
-    sharding = NamedSharding(mesh, P(axis, None))
-
-    @partial(jax.jit, out_shardings=sharding)
-    def build_w(l):
-        if n_pad != n:
-            l = jnp.pad(l, ((0, n_pad - n), (0, n_pad - n)))
-            l = l.at[jnp.arange(n, n_pad), jnp.arange(n, n_pad)].set(1.0)
-        l = jax.lax.with_sharding_constraint(l, sharding)
-        eye = jax.lax.with_sharding_constraint(
-            jnp.eye(n_pad, dtype=dtype), sharding)
-        # manual shard_map substitution: L stays (n/P, n) per device —
-        # the GSPMD formulation silently all-gathered the full factor
-        # inside the loop (round-5 HLO finding, ops/distributed_cholesky
-        # tri_solve_shard_map docstring)
-        local = partial(_tri_solve_shard_map_local, axis=axis, block=blk,
-                        rows_per=rows_per, trans=False)
-        w = jax.shard_map(
-            local, mesh=mesh,
-            in_specs=(P(axis, None), P(axis, None)),
-            out_specs=P(axis, None), check_vma=False,
-        )(l, eye)
-        return jnp.tril(w)
-
-    w_full = build_w(state.l)
+    w_full = _build_w_program(mesh, axis, blk, n, n_pad,
+                              jnp.dtype(dtype).name)(state.l)
     # keep the sharded layout intact on the aligned path (a [:n] slice of a
     # sharded array can force a layout change); production large-n runs
     # keep n mesh-aligned so this is the path that matters
@@ -266,3 +238,44 @@ def predictor_large(
         state.ainv_h, w_chol, state.sigma2,
     )
 
+
+@lru_cache(maxsize=32)
+def _build_w_program(mesh, axis, blk, n, n_pad, dtype_name):
+    """Cached jitted W = L^-1 builder per (mesh, layout) — a per-call
+    @jax.jit closure would retrace/recompile the shard_map substitution
+    on every predictor_large invocation (code-review r5b finding #4; the
+    repo's module-scope-jit convention). The identity RHS is created
+    INSIDE the program under a sharding constraint, and the TRSM is the
+    manual shard_map substitution, so no (n, n) object ever gathers
+    (round-5 HLO finding, ops/distributed_cholesky tri_solve_shard_map
+    docstring)."""
+    from functools import partial
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from gp_emu_uqsa_tpu.ops.distributed_cholesky import (
+        _tri_solve_shard_map_local,
+    )
+
+    dtype = jnp.dtype(dtype_name)
+    rows_per = n_pad // mesh.shape[axis]
+    sharding = NamedSharding(mesh, P(axis, None))
+
+    @partial(jax.jit, out_shardings=sharding)
+    def build_w(l):
+        if n_pad != n:
+            l = jnp.pad(l, ((0, n_pad - n), (0, n_pad - n)))
+            l = l.at[jnp.arange(n, n_pad), jnp.arange(n, n_pad)].set(1.0)
+        l = jax.lax.with_sharding_constraint(l, sharding)
+        eye = jax.lax.with_sharding_constraint(
+            jnp.eye(n_pad, dtype=dtype), sharding)
+        local = partial(_tri_solve_shard_map_local, axis=axis, block=blk,
+                        rows_per=rows_per, trans=False)
+        w = jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(axis, None), P(axis, None)),
+            out_specs=P(axis, None), check_vma=False,
+        )(l, eye)
+        return jnp.tril(w)
+
+    return build_w

@@ -177,6 +177,29 @@ def measure(n: int = 4096, d: int = 8, m: int = 8192, dtype=None):
     return results
 
 
+def gp_test_posterior(n: int, d: int, dtype=None):
+    """The shared synthetic GP-hyperparameter posterior every sampler
+    measurement uses: (x, y, h, MLEConfig). ONE definition so the bench
+    stages, the long-chain harness, and the comparisons all measure the
+    same posterior (code-review r5b finding #6: three drifting copies).
+
+    Nugget 1e-4 by working precision: at fp32 a 1e-6 nugget makes the
+    n=1024 factorization fail BY DESIGN (likelihood contract) and every
+    proposal rejects — utils/sampler_compare.py hardware note.
+    """
+    import jax.numpy as jnp
+
+    from gp_emu_uqsa_tpu.basis import basis_matrix, linear_basis
+    from gp_emu_uqsa_tpu.inference import MLEConfig
+
+    dtype = dtype or jnp.float32
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(size=(n, d)), dtype)
+    y = jnp.sin(3.0 * x[:, 0]) + x[:, 1] * x[:, 2]
+    h = basis_matrix(x, linear_basis(d))
+    return x, y, h, MLEConfig(mode="mucm", nugget=1e-4)
+
+
 def measure_hmc(n_chains: int = 64, n: int = 1024, d: int = 8,
                 n_samples: int = 32, n_warmup: int = 32,
                 n_leapfrog: int = 8):
@@ -205,19 +228,12 @@ def measure_hmc(n_chains: int = 64, n: int = 1024, d: int = 8,
     import jax
     import jax.numpy as jnp
 
-    from gp_emu_uqsa_tpu.basis import basis_matrix, linear_basis
-    from gp_emu_uqsa_tpu.inference import MLEConfig
     from gp_emu_uqsa_tpu.inference.hmc import (
         HMCConfig, ess, hmc_sample, make_gp_logdensity,
     )
 
-    rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.uniform(size=(n, d)), jnp.float32)
-    y = jnp.sin(3.0 * x[:, 0]) + x[:, 1] * x[:, 2]
-    h = basis_matrix(x, linear_basis(d))
-    # nugget by working precision (see utils/sampler_compare.py): 1e-6 in
-    # fp32 makes the factorization fail by design at n this large
-    ld = make_gp_logdensity(x, y, h, MLEConfig(mode="mucm", nugget=1e-4))
+    x, y, h, mle_cfg = gp_test_posterior(n, d)
+    ld = make_gp_logdensity(x, y, h, mle_cfg)
     cfg = HMCConfig(n_warmup=n_warmup, n_samples=n_samples,
                     n_leapfrog=n_leapfrog)
     # warmup-only proxy: identical warmup schedule, ONE sampling draw
@@ -291,37 +307,36 @@ def measure_nuts(n_chains: int = 64, n: int = 1024, d: int = 8,
     import jax
     import jax.numpy as jnp
 
-    from gp_emu_uqsa_tpu.basis import basis_matrix, linear_basis
-    from gp_emu_uqsa_tpu.inference import MLEConfig
     from gp_emu_uqsa_tpu.inference.hmc import (
         HMCConfig, ess, make_gp_logdensity, split_rhat,
     )
     from gp_emu_uqsa_tpu.inference.nuts import nuts_continue, nuts_sample
 
-    rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.uniform(size=(n, d)), jnp.float32)
-    y = jnp.sin(3.0 * x[:, 0]) + x[:, 1] * x[:, 2]
-    h = basis_matrix(x, linear_basis(d))
-    ld = make_gp_logdensity(x, y, h, MLEConfig(mode="mucm", nugget=1e-4))
+    x, y, h, mle_cfg = gp_test_posterior(n, d)
+    ld = make_gp_logdensity(x, y, h, mle_cfg)
     cfg = HMCConfig(n_warmup=n_warmup, n_samples=1)
     z0 = jnp.zeros((n_chains, d), jnp.float32)
     warm = jax.jit(lambda k: nuts_sample(k, ld, z0, cfg,
                                          max_depth=warmup_max_depth))
-    seg = jax.jit(lambda k, z, eps, im: nuts_continue(
-        k, ld, z, eps, im, segment_draws, max_depth=max_depth))
+    # EVERY operand of the timed jit is an array arg — x/y/h included,
+    # which make_gp_logdensity otherwise closure-captures and re-stages
+    # per dispatch (CLAUDE.md timing rule; code-review r5b finding #2)
+    seg = jax.jit(lambda k, z, eps, im, x, y, h: nuts_continue(
+        k, make_gp_logdensity(x, y, h, mle_cfg), z, eps, im,
+        segment_draws, max_depth=max_depth))
     samples, stats = warm(jax.random.key(0))
     z = samples[:, -1]
     eps, im = stats["step_size"], stats["inv_mass"]
     float(z[-1, -1])
     # compile the segment program before the timed loop
-    out = seg(jax.random.key(1), z, eps, im)
+    out = seg(jax.random.key(1), z, eps, im, x, y, h)
     float(out[0][-1, -1, -1])
     key = jax.random.key(2)
     chunks = []
     accepts = []
     t0 = time.perf_counter()
     for _ in range(n_segments):
-        zs, seg_stats, key = seg(key, z, eps, im)
+        zs, seg_stats, key = seg(key, z, eps, im, x, y, h)
         z = zs[:, -1]
         chunks.append(zs)
         accepts.append(seg_stats["accept_rate"])

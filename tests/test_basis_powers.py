@@ -169,3 +169,7 @@ class TestValidation:
         m_i, _ = emul.predict([[1, 2], [2, 3]])        # int nested list
         np.testing.assert_allclose(np.asarray(m_i), np.asarray(m_f),
                                    rtol=1e-12)
+
+    def test_misaligned_basis_inf_contextual_error(self):
+        with pytest.raises(ValueError, match="basis_str/basis_inf"):
+            parse_basis_strings(["1.0", "x**2"], ["NA", "NA"])

@@ -76,20 +76,28 @@ DTYPE_BYTES = {"f64": 8, "f32": 4, "bf16": 2, "f16": 2, "s32": 4,
                "u32": 4, "s64": 8, "u64": 8, "pred": 1, "s8": 1, "u8": 1}
 SHAPE_RE = re.compile(r"(f64|f32|bf16|f16|s64|u64|s32|u32|pred|s8|u8)\[([0-9,]*)\]")
 COLL_RE = re.compile(r"=\s+(.+?)\s+(all-gather|all-reduce|reduce-scatter|"
-                     r"collective-permute)(?:-start)?\(")
+                     r"collective-permute)(-start)?\(")
 WHILE_RE = re.compile(r"while\(.*body=%?([\w.\-]+)")
 CONST_RE = re.compile(r"s32\[\]\s+constant\((\d+)\)")
 
 
-def shape_bytes(lhs: str) -> int:
-    total = 0
+def shape_bytes(lhs: str, largest_only: bool = False) -> int:
+    """Bytes of the shapes in an instruction's result type.
+
+    largest_only: for async `*-start` ops the lhs is a TUPLE holding both
+    the operand and result buffers — summing it double-counts the
+    transfer; the result (largest) buffer is the moved volume
+    (code-review r5b finding #3)."""
+    sizes = []
     for dt, dims in SHAPE_RE.findall(lhs):
         numel = 1
         if dims:
             for d in dims.split(","):
                 numel *= int(d)
-        total += numel * DTYPE_BYTES[dt]
-    return total
+        sizes.append(numel * DTYPE_BYTES[dt])
+    if not sizes:
+        return 0
+    return max(sizes) if largest_only else sum(sizes)
 
 
 def analyze(compiled) -> dict:
@@ -134,7 +142,7 @@ def analyze(compiled) -> dict:
             if not m:
                 continue
             kind = m.group(2)
-            b = shape_bytes(m.group(1))
+            b = shape_bytes(m.group(1), largest_only=m.group(3) is not None)
             ent = per_kind.setdefault(kind, {"count": 0, "bytes": 0})
             ent["count"] += mult
             ent["bytes"] += b * mult

@@ -48,8 +48,6 @@ def long_chain(sampler: str = "nuts", n: int = 1024, d: int = 8,
     import jax
     import jax.numpy as jnp
 
-    from gp_emu_uqsa_tpu.basis import basis_matrix, linear_basis
-    from gp_emu_uqsa_tpu.inference import MLEConfig
     from gp_emu_uqsa_tpu.inference.hmc import (
         HMCConfig, ess, hmc_continue, hmc_sample, make_gp_logdensity,
         split_rhat,
@@ -61,18 +59,28 @@ def long_chain(sampler: str = "nuts", n: int = 1024, d: int = 8,
     os.makedirs(ckpt_dir, exist_ok=True)
     state_path = os.path.join(ckpt_dir, "state")
 
-    rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.uniform(size=(n, d)), jnp.float32)
-    y = jnp.sin(3.0 * x[:, 0]) + x[:, 1] * x[:, 2]
-    h = basis_matrix(x, linear_basis(d))
-    ld = make_gp_logdensity(x, y, h, MLEConfig(mode="mucm", nugget=1e-4))
+    from gp_emu_uqsa_tpu.utils.roofline import gp_test_posterior
+
+    x, y, h, mle_cfg = gp_test_posterior(n, d)
+    ld = make_gp_logdensity(x, y, h, mle_cfg)
 
     n_segments = -(-target_draws // segment_draws)
-    done = sorted(
-        int(f[3:-4]) for f in os.listdir(ckpt_dir)
-        if f.startswith("seg") and f.endswith(".npy")
-    )
-    start_seg = (max(done) + 1) if done else 0
+    # resume position comes from the CHECKPOINT's segments_done, not the
+    # segment files: a crash between np.save(seg_k) and save_hmc_state
+    # would otherwise make the rerun replay segment k bit-exactly but
+    # save it as segment k+1 — duplicated draws in the final chain
+    # (code-review r5b finding #1). With meta as the authority, that
+    # crash window just re-runs segment k from its pre-segment state and
+    # overwrites seg_k.npy with identical content.
+    start_seg = 0
+    if os.path.exists(state_path + ".npz"):
+        try:
+            import json as _json
+
+            start_seg = int(_json.loads(
+                open(state_path + ".json").read()).get("segments_done", 0))
+        except (OSError, ValueError):
+            start_seg = 0
 
     if start_seg == 0 or not os.path.exists(state_path + ".npz"):
         # --- warmup dispatch ---------------------------------------------
@@ -101,21 +109,24 @@ def long_chain(sampler: str = "nuts", n: int = 1024, d: int = 8,
 
     z, eps, im, key, meta = load_hmc_state(state_path)
     cfg_seg = HMCConfig(n_leapfrog=n_leapfrog)
-    # eps/im travel as ARRAY ARGS of the timed jit — a closure-captured
-    # constant is re-staged per dispatch through the remote-device link
-    # (CLAUDE.md timing rule; code-review r5 finding #5)
+    # EVERY operand of the timed jit travels as an array arg — including
+    # the posterior's x/y/h, which make_gp_logdensity otherwise
+    # closure-captures and re-stages per dispatch through the
+    # remote-device link (CLAUDE.md timing rule; code-review r5b #2)
     if sampler == "nuts":
-        seg_fn = jax.jit(lambda k, z, eps, im: nuts_continue(
-            k, ld, z, eps, im, segment_draws, max_depth=max_depth))
+        seg_fn = jax.jit(lambda k, z, eps, im, x, y, h: nuts_continue(
+            k, make_gp_logdensity(x, y, h, mle_cfg), z, eps, im,
+            segment_draws, max_depth=max_depth))
     else:
-        seg_fn = jax.jit(lambda k, z, eps, im: hmc_continue(
-            k, ld, z, eps, im, segment_draws, cfg_seg))
+        seg_fn = jax.jit(lambda k, z, eps, im, x, y, h: hmc_continue(
+            k, make_gp_logdensity(x, y, h, mle_cfg), z, eps, im,
+            segment_draws, cfg_seg))
 
     seg_times = []
     accepts = []
     for seg in range(start_seg, n_segments):
         t0 = time.perf_counter()
-        zs, seg_stats, key = seg_fn(key, z, eps, im)
+        zs, seg_stats, key = seg_fn(key, z, eps, im, x, y, h)
         z = zs[:, -1]
         float(z[-1, -1])              # host sync: one dispatch per segment
         dt = time.perf_counter() - t0
