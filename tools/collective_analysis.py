@@ -82,12 +82,12 @@ CONST_RE = re.compile(r"s32\[\]\s+constant\((\d+)\)")
 
 
 def shape_bytes(lhs: str, largest_only: bool = False) -> int:
-    """Bytes of the shapes in an instruction's result type.
-
-    largest_only: for async `*-start` ops the lhs is a TUPLE holding both
-    the operand and result buffers — summing it double-counts the
-    transfer; the result (largest) buffer is the moved volume
-    (code-review r5b finding #3)."""
+    # Bytes of the shapes in an instruction result type. largest_only:
+    # async *-start ops have a TUPLE lhs holding operand AND result
+    # buffers - summing double-counts the transfer; the result (largest)
+    # buffer is the moved volume (code-review r5b finding #3).
+    # (plain comments: this source lives inside the _CHILD string literal,
+    # so a triple-quoted docstring here would terminate it)
     sizes = []
     for dt, dims in SHAPE_RE.findall(lhs):
         numel = 1
