@@ -318,10 +318,12 @@ class Emulator:
             from gp_emu_uqsa_tpu.ops.serve import serve_meanvar_pallas_batched
 
             pred = self._serving()
-            # bucket the (static) chunk size: full 65536 chunks at serving
-            # scale, the next power of two >= m (floor 1024 = TILE_QM) for
-            # small queries — a handful of compiled programs total
-            batch = 65536 if m > 65536 else max(1024, 1 << (m - 1).bit_length())
+            # bucket the (static) chunk size: 131072 chunks at serving
+            # scale (the direct ops.serve path's measured-best config,
+            # docs/perf_tpu.md), the next power of two >= m (floor 1024 =
+            # TILE_QM) for small queries — a handful of compiled programs
+            batch = (131072 if m > 131072
+                     else max(1024, 1 << (m - 1).bit_length()))
             mean, var = serve_meanvar_pallas_batched(
                 pred, x, xs, hs, batch=batch,
                 quad_precision=quad_precision,
